@@ -1,0 +1,108 @@
+"""MIDI I/O round-trip and metric sanity tests (SURVEY.md C10, C27)."""
+
+import numpy as np
+
+from yourmt3_tpu.config.vocabulary import GM_INSTR_CLASS, GM_DRUM_8CLASS
+from yourmt3_tpu.eval.metrics import AMTMetrics, evaluate_track
+from yourmt3_tpu.tokens import Note, midi2note, note_event2midi
+
+
+def make_notes():
+    return [
+        Note(False, 0, 0.50, 1.00, 60, 90),
+        Note(False, 0, 0.75, 1.25, 64, 80),
+        Note(False, 40, 1.00, 2.50, 69, 70),
+        Note(True, 128, 0.25, 0.26, 36, 100),
+        Note(True, 128, 1.25, 1.26, 38, 100),
+    ]
+
+
+class TestMidiIO:
+    def test_write_read_roundtrip(self, tmp_path):
+        notes = make_notes()
+        p = str(tmp_path / "out.mid")
+        note_event2midi(notes, p)
+        back = midi2note(p)
+        assert len(back) == len(notes)
+        key = lambda n: (n.is_drum, n.program, n.pitch, n.onset)
+        for r, e in zip(sorted(notes, key=key), sorted(back, key=key)):
+            assert r.is_drum == e.is_drum and r.pitch == e.pitch
+            assert abs(r.onset - e.onset) < 0.01
+            if not r.is_drum:
+                assert r.program == e.program
+                assert abs(r.offset - e.offset) < 0.01
+                assert abs(r.velocity - e.velocity) <= 1
+
+    def test_sustain_pedal_extension(self, tmp_path):
+        # hand-build a track: CC64 down, note on/off, CC64 up later
+        import struct
+        from yourmt3_tpu.tokens.midi_io import _write_varint
+        tpqn, tempo = 480, 500000
+
+        def ev(delta, *msg):
+            return _write_varint(delta) + bytes(msg)
+
+        body = b""
+        body += ev(0, 0xFF, 0x51, 0x03) + struct.pack(">I", tempo)[1:]
+        body += ev(0, 0xB0, 64, 100)       # pedal down
+        body += ev(0, 0x90, 60, 80)        # note on @0
+        body += ev(480, 0x80, 60, 0)       # note off @1 beat (0.5 s) — deferred
+        body += ev(480, 0xB0, 64, 0)       # pedal up @2 beats (1.0 s)
+        body += ev(0, 0xFF, 0x2F, 0x00)
+        blob = (b"MThd" + struct.pack(">IHHH", 6, 1, 1, tpqn)
+                + b"MTrk" + struct.pack(">I", len(body)) + body)
+        p = tmp_path / "sus.mid"
+        p.write_bytes(blob)
+        notes = midi2note(str(p), apply_sustain_pedal=True)
+        assert len(notes) == 1
+        assert abs(notes[0].offset - 1.0) < 0.01  # extended to pedal release
+        notes2 = midi2note(str(p), apply_sustain_pedal=False)
+        assert abs(notes2[0].offset - 0.5) < 0.01
+
+
+class TestMetrics:
+    def test_perfect_match(self):
+        notes = make_notes()
+        s = evaluate_track(notes, notes, GM_INSTR_CLASS, GM_DRUM_8CLASS)
+        assert s.onset_f1 == 1.0 and s.offset_f1 == 1.0
+        assert s.multi_f1 == 1.0 and s.drum_f1 == 1.0
+
+    def test_onset_tolerance(self):
+        ref = [Note(False, 0, 1.0, 2.0, 60, 90)]
+        est_ok = [Note(False, 0, 1.04, 2.0, 60, 90)]
+        est_bad = [Note(False, 0, 1.06, 2.0, 60, 90)]
+        assert evaluate_track(ref, est_ok).onset_f1 == 1.0
+        assert evaluate_track(ref, est_bad).onset_f1 == 0.0
+
+    def test_offset_ratio(self):
+        ref = [Note(False, 0, 0.0, 10.0, 60, 90)]  # tol = 2.0 s
+        est = [Note(False, 0, 0.0, 8.5, 60, 90)]
+        s = evaluate_track(ref, est)
+        assert s.onset_f1 == 1.0 and s.offset_f1 == 1.0
+        est2 = [Note(False, 0, 0.0, 7.0, 60, 90)]
+        assert evaluate_track(ref, est2).offset_f1 == 0.0
+
+    def test_multi_instrument_grouping(self):
+        # est puts the note in a different program of the SAME class → multi ok
+        ref = [Note(False, 0, 1.0, 2.0, 60, 90)]
+        est = [Note(False, 3, 1.0, 2.0, 60, 90)]  # still Piano class
+        s = evaluate_track(ref, est, GM_INSTR_CLASS)
+        assert s.multi_f1 == 1.0
+        est2 = [Note(False, 25, 1.0, 2.0, 60, 90)]  # Guitar class
+        assert evaluate_track(ref, est2, GM_INSTR_CLASS).multi_f1 == 0.0
+
+    def test_one_to_one_matching(self):
+        # two est notes can't both match one ref note
+        ref = [Note(False, 0, 1.0, 2.0, 60, 90)]
+        est = [Note(False, 0, 1.0, 2.0, 60, 90), Note(False, 0, 1.01, 2.0, 60, 90)]
+        s = evaluate_track(ref, est)
+        assert s.onset_precision == 0.5 and s.onset_recall == 1.0
+
+    def test_macro_average(self):
+        m = AMTMetrics(GM_INSTR_CLASS, GM_DRUM_8CLASS)
+        notes = make_notes()
+        m.update(notes, notes)
+        m.update(notes, [])  # empty prediction
+        out = m.compute()
+        assert out["onset_f1"] == 0.5
+        assert m.num_tracks == 2

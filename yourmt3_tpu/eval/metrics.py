@@ -1,0 +1,180 @@
+"""Transcription metrics: note-onset / onset+offset / multi-instrument /
+drum F1, first-party (mir_eval is not available in this stack; semantics
+follow mir_eval.transcription so numbers are comparable).
+
+Capability parity target: reference `utils/metrics.py` `AMTMetrics`
+(SURVEY.md C27): instrument-agnostic onset F1 (50 ms tol), onset+offset F1
+(offset tol = max(50 ms, 0.2·duration)), multi-instrument F1 grouped by an
+eval vocabulary, drum onset F1; macro-averaged over tracks.
+
+Matching is maximum-cardinality bipartite matching over valid (ref, est)
+pairs — identical to mir_eval.transcription.match_notes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy.sparse import csr_matrix
+from scipy.sparse.csgraph import maximum_bipartite_matching
+
+from ..config.vocabulary import (DRUM_PROGRAM, DrumVocabulary,
+                                 InstrumentVocabulary)
+from ..tokens.dataclasses import Note
+
+ONSET_TOL = 0.05
+OFFSET_RATIO = 0.2
+OFFSET_MIN_TOL = 0.05
+
+
+def _match_count(
+    ref: Sequence[Tuple[float, float, int]],
+    est: Sequence[Tuple[float, float, int]],
+    onset_tol: float = ONSET_TOL,
+    with_offset: bool = False,
+) -> int:
+    """Max-cardinality matching size between (onset, offset, key) tuples."""
+    if not ref or not est:
+        return 0
+    r_on = np.array([r[0] for r in ref])
+    r_off = np.array([r[1] for r in ref])
+    r_key = np.array([r[2] for r in ref])
+    e_on = np.array([e[0] for e in est])
+    e_off = np.array([e[1] for e in est])
+    e_key = np.array([e[2] for e in est])
+
+    ok = (np.abs(r_on[:, None] - e_on[None, :]) <= onset_tol) & (
+        r_key[:, None] == e_key[None, :])
+    if with_offset:
+        tol = np.maximum(OFFSET_MIN_TOL, OFFSET_RATIO * (r_off - r_on))
+        ok &= np.abs(r_off[:, None] - e_off[None, :]) <= tol[:, None]
+    if not ok.any():
+        return 0
+    graph = csr_matrix(ok)
+    match = maximum_bipartite_matching(graph, perm_type="column")
+    return int((match >= 0).sum())
+
+
+def precision_recall_f1(n_match: int, n_ref: int, n_est: int
+                        ) -> Tuple[float, float, float]:
+    p = n_match / n_est if n_est else 0.0
+    r = n_match / n_ref if n_ref else 0.0
+    f = 2 * p * r / (p + r) if (p + r) else 0.0
+    return p, r, f
+
+
+def _tuples(notes: Sequence[Note], key_fn) -> List[Tuple[float, float, int]]:
+    out = []
+    for n in notes:
+        k = key_fn(n)
+        if k is not None:
+            out.append((n.onset, n.offset, k))
+    return out
+
+
+@dataclasses.dataclass
+class TrackScores:
+    onset_f1: float = 0.0
+    offset_f1: float = 0.0  # onset+offset
+    multi_f1: float = 0.0
+    drum_f1: float = 0.0
+    onset_precision: float = 0.0
+    onset_recall: float = 0.0
+    multi_precision: float = 0.0
+    multi_recall: float = 0.0
+
+
+def evaluate_track(
+    ref_notes: Sequence[Note],
+    est_notes: Sequence[Note],
+    eval_program_vocab: Optional[InstrumentVocabulary] = None,
+    eval_drum_vocab: Optional[DrumVocabulary] = None,
+    onset_tolerance: float = ONSET_TOL,
+) -> TrackScores:
+    """Full per-track metric set.
+
+    - onset/offset F1 are instrument-agnostic over PITCHED notes (drums are
+      excluded, as in the reference);
+    - multi_f1 groups pitched notes by eval-vocab class (drums form one
+      extra class when the vocab has drums);
+    - drum_f1 matches drums by drum-class with onset tolerance only.
+    """
+    s = TrackScores()
+    ref_p = [n for n in ref_notes if not n.is_drum]
+    est_p = [n for n in est_notes if not n.is_drum]
+    ref_d = [n for n in ref_notes if n.is_drum]
+    est_d = [n for n in est_notes if n.is_drum]
+
+    # instrument-agnostic pitched
+    rt = _tuples(ref_p, lambda n: n.pitch)
+    et = _tuples(est_p, lambda n: n.pitch)
+    m = _match_count(rt, et, onset_tolerance, with_offset=False)
+    s.onset_precision, s.onset_recall, s.onset_f1 = precision_recall_f1(
+        m, len(rt), len(et))
+    m = _match_count(rt, et, onset_tolerance, with_offset=True)
+    _, _, s.offset_f1 = precision_recall_f1(m, len(rt), len(et))
+
+    # multi-instrument (flat micro matching with class-qualified pitch)
+    if eval_program_vocab is not None:
+        p2c = eval_program_vocab.program_to_class_array()
+
+        def mkey(n: Note) -> Optional[int]:
+            prog = DRUM_PROGRAM if n.is_drum else n.program
+            c = int(p2c[prog]) if 0 <= prog <= DRUM_PROGRAM else -1
+            if c < 0:
+                return None
+            return c * 1000 + n.pitch
+
+        ref_all = [n for n in ref_notes]
+        est_all = [n for n in est_notes]
+        rt = _tuples(ref_all, mkey)
+        et = _tuples(est_all, mkey)
+        m = _match_count(rt, et, onset_tolerance, with_offset=False)
+        s.multi_precision, s.multi_recall, s.multi_f1 = precision_recall_f1(
+            m, len(rt), len(et))
+
+    # drums
+    if ref_d or est_d:
+        if eval_drum_vocab is not None:
+            d2c = eval_drum_vocab.note_to_class_array()
+
+            def dkey(n: Note) -> Optional[int]:
+                c = int(d2c[n.pitch]) if 0 <= n.pitch < 128 else -1
+                return None if c < 0 else c
+        else:
+            def dkey(n: Note) -> Optional[int]:
+                return n.pitch
+        rt = _tuples(ref_d, dkey)
+        et = _tuples(est_d, dkey)
+        m = _match_count(rt, et, onset_tolerance, with_offset=False)
+        _, _, s.drum_f1 = precision_recall_f1(m, len(rt), len(et))
+    return s
+
+
+class AMTMetrics:
+    """Macro-averaging accumulator over tracks (reference `AMTMetrics`)."""
+
+    def __init__(self, eval_program_vocab: Optional[InstrumentVocabulary] = None,
+                 eval_drum_vocab: Optional[DrumVocabulary] = None):
+        self.eval_program_vocab = eval_program_vocab
+        self.eval_drum_vocab = eval_drum_vocab
+        self._tracks: List[TrackScores] = []
+
+    def update(self, ref_notes: Sequence[Note], est_notes: Sequence[Note]) -> TrackScores:
+        s = evaluate_track(ref_notes, est_notes,
+                           self.eval_program_vocab, self.eval_drum_vocab)
+        self._tracks.append(s)
+        return s
+
+    def compute(self) -> Dict[str, float]:
+        if not self._tracks:
+            return {}
+        fields = [f.name for f in dataclasses.fields(TrackScores)]
+        return {f"{name}": float(np.mean([getattr(t, name) for t in self._tracks]))
+                for name in fields}
+
+    @property
+    def num_tracks(self) -> int:
+        return len(self._tracks)
