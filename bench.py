@@ -1,0 +1,71 @@
+"""Benchmark: full-song transcription throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio_seconds_per_second_per_chip",
+   "vs_baseline": N}
+
+Baseline target (BASELINE.md): ≥50× realtime per v5e chip. vs_baseline is
+value / 50. Runs the flagship inference path: fused frontend → encoder →
+projection → jitted while-loop greedy decode (worst-case: no early EOS on
+an untrained model ⇒ the number reported is a floor).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from yourmt3_tpu.api import _transcribe_batch, init_model
+
+    model_preset = "t5_small"
+    task = "mt3_full_plus"
+    batch = 32
+    max_length = 1024
+    for a in sys.argv[1:]:
+        if a.startswith("--model="):
+            model_preset = a.split("=", 1)[1]
+        elif a.startswith("--task="):
+            task = a.split("=", 1)[1]
+        elif a.startswith("--batch="):
+            batch = int(a.split("=", 1)[1])
+        elif a.startswith("--max-length="):
+            max_length = int(a.split("=", 1)[1])
+
+    bundle = init_model(model_preset, task)
+    ac = bundle.audio_cfg
+    max_length = min(max_length, bundle.task_manager.max_token_length)
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((batch, ac.input_frames)),
+                        jnp.float32) * 0.1
+
+    # warmup/compile
+    ids = _transcribe_batch(bundle.model, bundle.params, bundle.frontend,
+                            audio, max_length, None)
+    ids.block_until_ready()
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        ids = _transcribe_batch(bundle.model, bundle.params, bundle.frontend,
+                                audio, max_length, None)
+    ids.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_iters
+
+    audio_seconds = batch * ac.segment_seconds
+    throughput = audio_seconds / dt
+    print(json.dumps({
+        "metric": f"full_song_transcription_throughput[{model_preset},B={batch},L={max_length}]",
+        "value": round(throughput, 3),
+        "unit": "audio_seconds_per_second_per_chip",
+        "vs_baseline": round(throughput / 50.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,20 @@
 """Test env: force CPU JAX with a virtual 8-device mesh (SURVEY.md §4.4).
 
-Must run before the first `import jax` anywhere in the test session.
+NOTE: this machine exports JAX_PLATFORMS=axon (TPU tunnel) and the axon
+plugin wins over a plain env override — so we must update jax.config
+AFTER import, before any backend touch. Runs first because conftest.py
+is imported before test modules.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()

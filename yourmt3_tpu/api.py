@@ -1,0 +1,132 @@
+"""Public inference API: load_checkpoint(...) + transcribe(audio) → MIDI.
+
+Capability parity target: reference HF-Space `model_helper.py` / `app.py`
+(SURVEY.md C31, §3.3): `load_model_checkpoint(args)` and
+`transcribe(model, audio_info)`: load → resample 16 kHz mono →
+slice_padded_array → batch segments → greedy decode → detokenize+merge →
+note_event2midi → .mid path.
+
+TPU-first: segments are batched to a fixed batch size (padded) so one
+compiled program serves every song length; frontend+encoder+decode run as
+a single jitted program per batch (no per-step host sync).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config.audio import AudioConfig, DEFAULT_AUDIO
+from .config.model import ModelConfig, get_model_config
+from .data.audio_io import load_audio_file, slice_padded_array
+from .models.decoding import greedy_decode
+from .models.ymt3 import YMT3
+from .ops.frontend import SpectrogramFrontend
+from .tokens.dataclasses import Note
+from .tokens.event2note import DecodeErrors
+from .tokens.midi_io import note_event2midi
+from .tokens.task_manager import TaskManager
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """Everything needed to transcribe: model + params + frontend + task."""
+
+    model: YMT3
+    params: dict
+    frontend: SpectrogramFrontend
+    task_manager: TaskManager
+    audio_cfg: AudioConfig
+
+    @property
+    def cfg(self) -> ModelConfig:
+        return self.model.cfg
+
+
+def init_model(model_preset: str = "t5_small", task: str = "mt3_full_plus",
+               audio_cfg: AudioConfig = DEFAULT_AUDIO, seed: int = 0,
+               **cfg_overrides) -> ModelBundle:
+    """Build a randomly-initialized bundle (training / smoke tests)."""
+    tm = TaskManager(task, audio_cfg)
+    cfg = get_model_config(model_preset).replace(
+        vocab_size=tm.vocab_size,
+        num_channels=tm.num_decoding_channels,
+        max_target_length=tm.max_token_length,
+        **cfg_overrides)
+    model = YMT3(cfg)
+    fe = SpectrogramFrontend.from_config(audio_cfg)
+    feats = jnp.zeros((1, audio_cfg.num_frames, audio_cfg.num_feature_bins))
+    ids = jnp.zeros((1, cfg.num_channels, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(seed), feats, ids)
+    return ModelBundle(model, params, fe, tm, audio_cfg)
+
+
+def load_checkpoint(path: str, model_preset: Optional[str] = None,
+                    task: Optional[str] = None,
+                    audio_cfg: AudioConfig = DEFAULT_AUDIO) -> ModelBundle:
+    """Restore a bundle from an Orbax checkpoint directory written by
+    yourmt3_tpu.train.checkpoint (metadata carries preset/task names)."""
+    from .train.checkpoint import restore_bundle
+    return restore_bundle(path, model_preset=model_preset, task=task,
+                          audio_cfg=audio_cfg)
+
+
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("model", "max_length"))
+def _transcribe_batch(model: YMT3, params, frontend: SpectrogramFrontend,
+                      audio: jnp.ndarray, max_length: int,
+                      prefix_ids: Optional[jnp.ndarray]) -> jnp.ndarray:
+    feats = frontend(audio)
+    memory = model.apply(params, feats, method=YMT3.encode)
+    return greedy_decode(model, params, memory, max_length, prefix_ids)
+
+
+def transcribe_audio_array(
+    bundle: ModelBundle, audio: np.ndarray, sample_rate: Optional[int] = None,
+    batch_size: int = 8, subtask: Optional[str] = None,
+) -> Tuple[List[Note], DecodeErrors]:
+    """Full-song mono float32 audio → merged notes."""
+    ac = bundle.audio_cfg
+    if sample_rate is not None and sample_rate != ac.sample_rate:
+        from .data.audio_io import resample
+        audio = resample(audio, sample_rate, ac.sample_rate)
+    segments, starts = slice_padded_array(audio, ac.input_frames)
+    S = segments.shape[0]
+    tm = bundle.task_manager
+    prefix = tm.subtask_prefix_ids(subtask)
+    prefix_arr = jnp.asarray(prefix, jnp.int32) if prefix else None
+    L = tm.max_token_length
+
+    all_ids = []
+    for i in range(0, S, batch_size):
+        chunk = segments[i: i + batch_size]
+        pad_n = batch_size - chunk.shape[0]
+        if pad_n:  # fixed batch shape ⇒ one compiled program
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad_n, ac.input_frames), np.float32)])
+        ids = _transcribe_batch(bundle.model, bundle.params, bundle.frontend,
+                                jnp.asarray(chunk), L, prefix_arr)
+        all_ids.append(np.asarray(ids)[: batch_size - pad_n if pad_n else batch_size])
+    seg_ids = np.concatenate(all_ids, axis=0)  # (S, C, L)
+    start_times = (starts / ac.sample_rate).tolist()
+    return tm.detokenize_song(seg_ids, start_times)
+
+
+def transcribe(bundle: ModelBundle, audio_path: str,
+               output_path: Optional[str] = None, batch_size: int = 8,
+               subtask: Optional[str] = None) -> str:
+    """Audio file → MIDI file path (the reference's public API, C31)."""
+    audio, sr = load_audio_file(audio_path, bundle.audio_cfg.sample_rate)
+    notes, errors = transcribe_audio_array(bundle, audio, sr, batch_size,
+                                           subtask)
+    if output_path is None:
+        output_path = os.path.splitext(audio_path)[0] + ".mid"
+    note_event2midi(notes, output_path)
+    return output_path

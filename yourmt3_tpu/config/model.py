@@ -1,0 +1,116 @@
+"""Model architecture configuration + presets.
+
+Capability parity target: reference `config/config.py` `model_cfg`
+(SURVEY.md C1): T5-small/base presets, encoder_type t5|perceiver-tf|
+conformer, multi-channel decoder sizing.
+
+TPU-first: every dimension here is static; compute dtype defaults to
+bfloat16 (MXU-native) with fp32 params and fp32 layernorm/softmax
+accumulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    name: str = "t5_small"
+    encoder_type: str = "t5"  # "t5" | "perceiver-tf" | "conformer"
+    decoder_type: str = "t5"  # "t5" | "multi-t5"
+
+    vocab_size: int = 596  # overwritten from TaskManager at build time
+    num_channels: int = 1  # decoding channels (multi-channel decoder)
+
+    # shared transformer dims
+    d_model: int = 512
+    d_kv: int = 64
+    num_heads: int = 6
+    d_ff: int = 1024
+    ff_act: str = "gated-gelu"  # "gated-gelu" | "relu" | "gated-silu" | "moe"
+    dropout_rate: float = 0.05
+
+    # encoder (t5/conformer)
+    num_encoder_layers: int = 8
+    # decoder
+    num_decoder_layers: int = 8
+    # relative attention (T5 style)
+    rel_attn_num_buckets: int = 32
+    rel_attn_max_distance: int = 128
+
+    # Perceiver-TF encoder (SURVEY.md C22)
+    ptf_num_latents: int = 24  # K latents per frame block
+    ptf_d_latent: int = 128
+    ptf_num_blocks: int = 3  # alternating temporal/spectral SA blocks
+    ptf_sca_use_query_residual: bool = True
+    ptf_ff_act: str = "gelu"
+    ptf_num_moe_experts: int = 0  # 0 ⇒ dense FF
+    ptf_moe_topk: int = 2
+    ptf_pos_enc: str = "trainable"  # "trainable" | "rope" | "alibi"
+    ptf_attention_to_channel: bool = True  # project latent groups → channels
+
+    # conv pre-encoder (SURVEY.md C19)
+    use_conv_pre_encoder: bool = False
+    conv_channels: int = 128
+
+    # projection encoder→decoder (SURVEY.md C24)
+    proj_type: str = "linear"  # "linear" | "mlp" | "group-linear"
+
+    # decoding
+    max_target_length: int = 1024
+    decoder_start_token_id: int = 0  # PAD doubles as BOS (T5 convention)
+
+    # dtypes
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# --- presets ---------------------------------------------------------------
+
+T5_SMALL = ModelConfig(name="t5_small")
+
+T5_BASE = ModelConfig(
+    name="t5_base", d_model=768, num_heads=12, d_ff=2048,
+    num_encoder_layers=12, num_decoder_layers=12,
+)
+
+# tiny config for tests / smoke runs
+T5_TINY = ModelConfig(
+    name="t5_tiny", d_model=64, d_kv=16, num_heads=4, d_ff=128,
+    num_encoder_layers=2, num_decoder_layers=2, max_target_length=64,
+)
+
+# YourMT3+ flagship: Perceiver-TF encoder + 13-channel T5 decoder
+PERCEIVER_TF_MC13 = ModelConfig(
+    name="perceiver_tf_mc13", encoder_type="perceiver-tf", decoder_type="multi-t5",
+    num_channels=13, ptf_num_latents=26, ptf_d_latent=128,
+    ptf_num_blocks=3, proj_type="group-linear", max_target_length=256,
+    use_conv_pre_encoder=True,
+)
+
+PERCEIVER_TF_MC13_MOE = PERCEIVER_TF_MC13.replace(
+    name="perceiver_tf_mc13_moe", ptf_num_moe_experts=8, ptf_moe_topk=2)
+
+CONFORMER_SMALL = ModelConfig(
+    name="conformer_small", encoder_type="conformer",
+    use_conv_pre_encoder=True,
+)
+
+PRESETS = {
+    m.name: m for m in (
+        T5_TINY, T5_SMALL, T5_BASE, PERCEIVER_TF_MC13, PERCEIVER_TF_MC13_MOE,
+        CONFORMER_SMALL,
+    )
+}
+
+
+def get_model_config(name: str) -> ModelConfig:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(f"unknown model preset {name!r}; known: {sorted(PRESETS)}")

@@ -1,0 +1,244 @@
+"""Shared transformer building blocks (flax.linen).
+
+Capability parity targets: reference `model/t5mod.py` internals (RMSNorm,
+relative position bias — SURVEY.md C20), `model/ff_layer.py` (gated/MoE
+FF variants — C24), `model/positional_encoding.py` (C24).
+
+TPU-first conventions used throughout the model stack:
+- params fp32, activations bfloat16, softmax/normalization accumulate fp32;
+- every matmul declares preferred_element_type=float32 so the MXU
+  accumulates in fp32;
+- no data-dependent shapes anywhere; masks are additive -inf biases.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+NEG_INF = -1e9
+
+
+class RMSNorm(nn.Module):
+    """T5-style RMSNorm: no bias, no mean subtraction, fp32 accumulation."""
+
+    eps: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+        y = x32 * jax.lax.rsqrt(var + self.eps)
+        return (y * scale).astype(self.dtype)
+
+
+def relative_position_bucket(relative_position: jnp.ndarray,
+                             bidirectional: bool,
+                             num_buckets: int,
+                             max_distance: int) -> jnp.ndarray:
+    """T5 relative-position bucketing (symbolic; used at trace time only)."""
+    ret = jnp.zeros_like(relative_position)
+    n = -relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret += (n < 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-6)
+        / np.log(max_distance / max_exact) * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+class RelativePositionBias(nn.Module):
+    """Bucketed relative attention bias (one table per stack, layer 0)."""
+
+    num_heads: int
+    num_buckets: int = 32
+    max_distance: int = 128
+    bidirectional: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, q_len: int, k_len: int) -> jnp.ndarray:
+        """→ (1, H, q_len, k_len) additive bias."""
+        table = self.param("rel_embedding", nn.initializers.normal(0.02),
+                           (self.num_buckets, self.num_heads), jnp.float32)
+        ctx = jnp.arange(q_len)[:, None]
+        mem = jnp.arange(k_len)[None, :]
+        buckets = relative_position_bucket(mem - ctx, self.bidirectional,
+                                           self.num_buckets, self.max_distance)
+        bias = table[buckets]  # (q, k, H)
+        return jnp.transpose(bias, (2, 0, 1))[None].astype(self.dtype)
+
+
+def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(B,H,Tq,D),(B,H,Tk,D),(B,H,Tk,Dv)[,(·,H,Tq,Tk)] → (B,H,Tq,Dv).
+
+    T5 convention: no 1/sqrt(d) scaling (folded into init). Softmax in fp32.
+    """
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """T5-style MHA. Projections are head-folded dense layers so the
+    parameters are plain (d_model, H*dk) matrices — importer-friendly and
+    MXU-shaped."""
+
+    num_heads: int
+    d_kv: int
+    d_model: int
+    dtype: Dtype = jnp.bfloat16
+
+    def setup(self):
+        d_inner = self.num_heads * self.d_kv
+        kinit = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
+        self.q = nn.Dense(d_inner, use_bias=False, dtype=self.dtype,
+                          kernel_init=kinit, name="q")
+        self.k = nn.Dense(d_inner, use_bias=False, dtype=self.dtype,
+                          kernel_init=kinit, name="k")
+        self.v = nn.Dense(d_inner, use_bias=False, dtype=self.dtype,
+                          kernel_init=kinit, name="v")
+        self.o = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                          kernel_init=kinit, name="o")
+
+    def _split(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.num_heads, self.d_kv).transpose(0, 2, 1, 3)
+
+    def _merge(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, t, d = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+    def __call__(self, x_q: jnp.ndarray, x_kv: jnp.ndarray,
+                 bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        q = self._split(self.q(x_q))
+        k = self._split(self.k(x_kv))
+        v = self._split(self.v(x_kv))
+        out = dot_product_attention(q, k, v, bias)
+        return self.o(self._merge(out))
+
+    # --- explicit-KV paths for autoregressive decoding -----------------
+    def project_kv(self, x_kv: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return self._split(self.k(x_kv)), self._split(self.v(x_kv))
+
+    def attend_step(self, x_q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """x_q: (B, 1, d_model) against externally-managed K/V (B,H,L,dk)."""
+        q = self._split(self.q(x_q))
+        out = dot_product_attention(q, k, v, bias)
+        return self.o(self._merge(out))
+
+
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "gelu": jax.nn.gelu,
+    "silu": jax.nn.silu,
+}
+
+
+class FeedForward(nn.Module):
+    """T5.1.1 gated FF (wi_0 ⊙ act(wi_1) → wo) or plain act FF."""
+
+    d_ff: int
+    d_model: int
+    act: str = "gated-gelu"
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        kinit = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
+        if self.act.startswith("gated-"):
+            a = ACTIVATIONS[self.act.split("-")[1]]
+            g = nn.Dense(self.d_ff, use_bias=False, dtype=self.dtype,
+                         kernel_init=kinit, name="wi_0")(x)
+            h = nn.Dense(self.d_ff, use_bias=False, dtype=self.dtype,
+                         kernel_init=kinit, name="wi_1")(x)
+            y = a(g) * h
+        else:
+            y = ACTIVATIONS[self.act](
+                nn.Dense(self.d_ff, use_bias=False, dtype=self.dtype,
+                         kernel_init=kinit, name="wi")(x))
+        y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
+        return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
+                        kernel_init=kinit, name="wo")(y)
+
+
+class MoEFeedForward(nn.Module):
+    """Token-choice top-k Mixture-of-Experts FF (reference `ff_layer.py` MoE
+    option, SURVEY.md C24). Dense-per-device: experts are a batched einsum —
+    no all-to-all needed at this expert count (SURVEY.md §2.3 EP row).
+
+    TPU note: implemented as dense compute over all experts with a top-k
+    mask, trading FLOPs for uniform shapes — at 4–8 experts and d_ff ≤ 2k
+    this is faster on the MXU than scatter/gather routing.
+    """
+
+    num_experts: int
+    d_ff: int
+    d_model: int
+    top_k: int = 2
+    act: str = "gelu"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        b, t, d = x.shape
+        router = nn.Dense(self.num_experts, use_bias=False,
+                          dtype=jnp.float32, name="router")(x.astype(jnp.float32))
+        probs = jax.nn.softmax(router, axis=-1)  # (b, t, E)
+        top_p, top_i = jax.lax.top_k(probs, self.top_k)
+        # sparse gate: scatter the top-k probs back over experts
+        gate = jnp.zeros_like(probs)
+        for j in range(self.top_k):
+            gate = gate + jax.nn.one_hot(top_i[..., j], self.num_experts,
+                                         dtype=probs.dtype) * top_p[..., j:j + 1]
+        gate = gate / (jnp.sum(gate, axis=-1, keepdims=True) + 1e-9)
+
+        wi = self.param("wi", nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                        (self.num_experts, d, self.d_ff), jnp.float32)
+        wo = self.param("wo", nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+                        (self.num_experts, self.d_ff, d), jnp.float32)
+        a = ACTIVATIONS[self.act]
+        h = jnp.einsum("btd,edf->btef", x, wi.astype(self.dtype),
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        h = a(h)
+        y = jnp.einsum("btef,efd->bted", h, wo.astype(self.dtype),
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("bted,bte->btd", y, gate.astype(y.dtype)).astype(self.dtype)
+
+
+def sinusoidal_positions(length: int, dim: int) -> np.ndarray:
+    pos = np.arange(length)[:, None]
+    i = np.arange(dim // 2)[None, :]
+    angle = pos / np.power(10000.0, 2 * i / dim)
+    out = np.zeros((length, dim), np.float32)
+    out[:, 0::2] = np.sin(angle)
+    out[:, 1::2] = np.cos(angle)
+    return out
+
+
+def causal_bias(length: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(1, 1, L, L) additive causal mask."""
+    mask = np.triu(np.full((length, length), NEG_INF, np.float32), k=1)
+    return jnp.asarray(mask, dtype)[None, None]

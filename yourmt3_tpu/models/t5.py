@@ -1,0 +1,246 @@
+"""T5 encoder / decoder / multi-channel decoder (flax.linen).
+
+Capability parity target: reference `model/t5mod.py` (SURVEY.md C20):
+`T5EncoderYMT3`, `T5DecoderYMT3`, `MultiChannelT5Decoder` — T5.1.1
+semantics (RMSNorm pre-norm, gated-gelu FF, bucketed relative position
+bias on layer-shared tables, untied LM head, no attention scaling).
+
+TPU-first: the decoder exposes explicit-KV single-step methods
+(`init_cross_kv`, `decode_step`) so autoregressive decoding runs inside a
+jitted lax.while_loop with functional cache updates
+(models/decoding.py) — no Python-side step loop, no cache mutation.
+The multi-channel decoder folds channels into the batch axis (B·C), which
+keeps every matmul large and MXU-shaped (SURVEY.md §3.5 note).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config.model import ModelConfig
+from .layers import (NEG_INF, FeedForward, MoEFeedForward, MultiHeadAttention,
+                     RMSNorm, RelativePositionBias, relative_position_bucket)
+
+Dtype = Any
+KV = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+def _dtype(cfg: ModelConfig) -> Any:
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def _make_ff(cfg: ModelConfig, dtype, name: str):
+    if cfg.ff_act == "moe":
+        return MoEFeedForward(num_experts=8, d_ff=cfg.d_ff, d_model=cfg.d_model,
+                              dtype=dtype, name=name)
+    return FeedForward(d_ff=cfg.d_ff, d_model=cfg.d_model, act=cfg.ff_act,
+                       dropout_rate=cfg.dropout_rate, dtype=dtype, name=name)
+
+
+class T5EncoderLayer(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c, dt = self.cfg, _dtype(self.cfg)
+        self.norm_attn = RMSNorm(dtype=dt, name="norm_attn")
+        self.attn = MultiHeadAttention(c.num_heads, c.d_kv, c.d_model, dt,
+                                       name="attn")
+        self.norm_ff = RMSNorm(dtype=dt, name="norm_ff")
+        self.ff = _make_ff(c, dt, "ff")
+        self.drop = nn.Dropout(c.dropout_rate)
+
+    def __call__(self, x, bias, deterministic=True):
+        h = self.norm_attn(x)
+        x = x + self.drop(self.attn(h, h, bias), deterministic=deterministic)
+        h = self.norm_ff(x)
+        x = x + self.drop(self.ff(h, deterministic=deterministic),
+                          deterministic=deterministic)
+        return x
+
+
+class T5Encoder(nn.Module):
+    """Continuous-input T5 encoder: (B, T, F) features → (B, T, D)."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        c, dt = self.cfg, _dtype(self.cfg)
+        self.input_proj = nn.Dense(c.d_model, use_bias=False, dtype=dt,
+                                   name="input_proj")
+        self.rel_bias = RelativePositionBias(
+            c.num_heads, c.rel_attn_num_buckets, c.rel_attn_max_distance,
+            bidirectional=True, dtype=dt, name="rel_bias")
+        self.layers = [T5EncoderLayer(c, name=f"layer_{i}")
+                       for i in range(c.num_encoder_layers)]
+        self.final_norm = RMSNorm(dtype=dt, name="final_norm")
+        self.drop = nn.Dropout(c.dropout_rate)
+
+    def __call__(self, feats: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        x = self.input_proj(feats.astype(_dtype(self.cfg)))
+        x = self.drop(x, deterministic=deterministic)
+        bias = self.rel_bias(x.shape[1], x.shape[1])
+        for lyr in self.layers:
+            x = lyr(x, bias, deterministic)
+        return self.final_norm(x)
+
+
+class T5DecoderLayer(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c, dt = self.cfg, _dtype(self.cfg)
+        self.norm_self = RMSNorm(dtype=dt, name="norm_self")
+        self.self_attn = MultiHeadAttention(c.num_heads, c.d_kv, c.d_model, dt,
+                                            name="self_attn")
+        self.norm_cross = RMSNorm(dtype=dt, name="norm_cross")
+        self.cross_attn = MultiHeadAttention(c.num_heads, c.d_kv, c.d_model, dt,
+                                             name="cross_attn")
+        self.norm_ff = RMSNorm(dtype=dt, name="norm_ff")
+        self.ff = _make_ff(c, dt, "ff")
+        self.drop = nn.Dropout(c.dropout_rate)
+
+    def __call__(self, y, enc_out, self_bias, deterministic=True):
+        h = self.norm_self(y)
+        y = y + self.drop(self.self_attn(h, h, self_bias),
+                          deterministic=deterministic)
+        h = self.norm_cross(y)
+        y = y + self.drop(self.cross_attn(h, enc_out, None),
+                          deterministic=deterministic)
+        h = self.norm_ff(y)
+        y = y + self.drop(self.ff(h, deterministic=deterministic),
+                          deterministic=deterministic)
+        return y
+
+    # ---- single-step decode with external caches ----------------------
+    def decode_step(self, y, self_kv: KV, pos: jnp.ndarray, cross_kv: KV,
+                    step_bias: jnp.ndarray) -> Tuple[jnp.ndarray, KV]:
+        """y: (B, 1, D). self_kv: (B, H, L, dk) ring caches. pos: scalar.
+        step_bias: (1, H, 1, L) rel-bias row + causal mask for this pos."""
+        h = self.norm_self(y)
+        q = self.self_attn._split(self.self_attn.q(h))
+        k_step = self.self_attn._split(self.self_attn.k(h))
+        v_step = self.self_attn._split(self.self_attn.v(h))
+        ck, cv = self_kv
+        ck = jax.lax.dynamic_update_slice(ck, k_step, (0, 0, pos, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v_step, (0, 0, pos, 0))
+        from .layers import dot_product_attention
+        att = dot_product_attention(q, ck, cv, step_bias)
+        y = y + self.self_attn.o(self.self_attn._merge(att))
+
+        h = self.norm_cross(y)
+        qc = self.cross_attn._split(self.cross_attn.q(h))
+        attc = dot_product_attention(qc, cross_kv[0], cross_kv[1], None)
+        y = y + self.cross_attn.o(self.cross_attn._merge(attc))
+
+        h = self.norm_ff(y)
+        y = y + self.ff(h, deterministic=True)
+        return y, (ck, cv)
+
+
+class T5Decoder(nn.Module):
+    """Token decoder with teacher-forced and step-decode paths."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        c, dt = self.cfg, _dtype(self.cfg)
+        self.embed = nn.Embed(c.vocab_size, c.d_model,
+                              embedding_init=nn.initializers.normal(1.0),
+                              dtype=dt, name="embed")
+        self.rel_bias = RelativePositionBias(
+            c.num_heads, c.rel_attn_num_buckets, c.rel_attn_max_distance,
+            bidirectional=False, dtype=jnp.float32, name="rel_bias")
+        self.layers = [T5DecoderLayer(c, name=f"layer_{i}")
+                       for i in range(c.num_decoder_layers)]
+        self.final_norm = RMSNorm(dtype=dt, name="final_norm")
+        self.lm_head = nn.Dense(c.vocab_size, use_bias=False, dtype=dt,
+                                name="lm_head")
+        self.drop = nn.Dropout(c.dropout_rate)
+
+    def _causal_bias(self, L: int) -> jnp.ndarray:
+        rel = self.rel_bias(L, L)  # (1,H,L,L) fp32
+        i = jnp.arange(L)[:, None]
+        j = jnp.arange(L)[None, :]
+        return rel + jnp.where(j > i, NEG_INF, 0.0)[None, None]
+
+    def __call__(self, decoder_input_ids: jnp.ndarray, enc_out: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """(B, L) ids + (B, T, D) encoder output → (B, L, vocab) logits."""
+        y = self.embed(decoder_input_ids)
+        y = self.drop(y, deterministic=deterministic)
+        bias = self._causal_bias(decoder_input_ids.shape[1])
+        for lyr in self.layers:
+            y = lyr(y, enc_out, bias, deterministic)
+        y = self.final_norm(y)
+        return self.lm_head(y).astype(jnp.float32)
+
+    # ---- decode-time helpers (used under jit by models/decoding.py) ----
+    def init_cross_kv(self, enc_out: jnp.ndarray) -> List[KV]:
+        return [lyr.cross_attn.project_kv(enc_out) for lyr in self.layers]
+
+    def step_bias(self, pos: jnp.ndarray, L: int) -> jnp.ndarray:
+        """(1, H, 1, L) bias for query position `pos` (traced scalar)."""
+        table = self.rel_bias.variables["params"]["rel_embedding"]
+        j = jnp.arange(L)
+        buckets = relative_position_bucket(
+            j[None, :] - pos, bidirectional=False,
+            num_buckets=self.cfg.rel_attn_num_buckets,
+            max_distance=self.cfg.rel_attn_max_distance)
+        bias = table[buckets[0]]  # (L, H)
+        bias = bias.T[None, :, None, :]  # (1,H,1,L)
+        return bias + jnp.where(j > pos, NEG_INF, 0.0)[None, None, None, :]
+
+    def decode_step(self, token_ids: jnp.ndarray, pos: jnp.ndarray,
+                    self_kvs: List[KV], cross_kvs: List[KV]
+                    ) -> Tuple[jnp.ndarray, List[KV]]:
+        """token_ids: (B, 1) current tokens; pos: scalar position.
+        → ((B, vocab) logits, updated self KV caches)."""
+        y = self.embed(token_ids)
+        L = self_kvs[0][0].shape[2]
+        bias = self.step_bias(pos, L)
+        new_kvs: List[KV] = []
+        for lyr, skv, ckv in zip(self.layers, self_kvs, cross_kvs):
+            y, nkv = lyr.decode_step(y, skv, pos, ckv, bias)
+            new_kvs.append(nkv)
+        y = self.final_norm(y)
+        logits = self.lm_head(y).astype(jnp.float32)
+        return logits[:, 0, :], new_kvs
+
+
+class MultiChannelT5Decoder(nn.Module):
+    """C parallel decoder streams with SHARED weights; channel c
+    cross-attends only its own (B, T, D) encoder-latent slice.
+
+    Implementation: fold channels into batch — (B, C, ...) → (B·C, ...) —
+    and run the ordinary T5Decoder. Shared weights fall out for free and
+    every GEMM keeps its full MXU tiling (reference `MultiChannelT5Decoder`,
+    SURVEY.md C20/§3.5).
+    """
+
+    cfg: ModelConfig
+
+    def setup(self):
+        self.decoder = T5Decoder(self.cfg, name="decoder")
+
+    def __call__(self, decoder_input_ids: jnp.ndarray, enc_out: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """ids: (B, C, L); enc_out: (B, C, T, D) → (B, C, L, vocab)."""
+        B, C, L = decoder_input_ids.shape
+        T, D = enc_out.shape[2], enc_out.shape[3]
+        logits = self.decoder(decoder_input_ids.reshape(B * C, L),
+                              enc_out.reshape(B * C, T, D), deterministic)
+        return logits.reshape(B, C, L, -1)
+
+    def init_cross_kv(self, enc_out: jnp.ndarray) -> List[KV]:
+        B, C, T, D = enc_out.shape
+        return self.decoder.init_cross_kv(enc_out.reshape(B * C, T, D))
+
+    def decode_step(self, token_ids: jnp.ndarray, pos: jnp.ndarray,
+                    self_kvs: List[KV], cross_kvs: List[KV]
+                    ) -> Tuple[jnp.ndarray, List[KV]]:
+        """token_ids: (B·C, 1) — channel-folded, same as the caches."""
+        return self.decoder.decode_step(token_ids, pos, self_kvs, cross_kvs)

@@ -1,0 +1,109 @@
+"""YMT3: full model assembly (encoder + projection + decoder).
+
+Capability parity target: reference `model/ymt3.py` `YourMT3`
+(SURVEY.md C25) minus the Lightning runtime (training loop lives in
+yourmt3_tpu/train/, decode loop in models/decoding.py — both pure JAX).
+
+The audio frontend (ops/frontend.py) is composed OUTSIDE this module at
+the train/inference-step level so spec-augment can sit between frontend
+and encoder on device; this module consumes (B, T, F) features.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config.model import ModelConfig
+from ..tokens.codec import PAD_ID
+from .conformer import ConformerEncoder
+from .perceiver_tf import PerceiverTFEncoder
+from .projection import EncoderProjection
+from .t5 import KV, MultiChannelT5Decoder, T5Decoder, T5Encoder
+
+
+class YMT3(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        if c.encoder_type == "t5":
+            self.encoder = T5Encoder(c, name="encoder")
+        elif c.encoder_type == "perceiver-tf":
+            self.encoder = PerceiverTFEncoder(c, name="encoder")
+        elif c.encoder_type == "conformer":
+            self.encoder = ConformerEncoder(c, name="encoder")
+        else:
+            raise ValueError(f"unknown encoder_type {c.encoder_type}")
+        self.projection = EncoderProjection(c, name="projection")
+        if c.decoder_type == "multi-t5" or c.num_channels > 1:
+            self.decoder = MultiChannelT5Decoder(c, name="decoder")
+            self._multi = True
+        else:
+            self.decoder = T5Decoder(c, name="decoder")
+            self._multi = False
+
+    # ---- encoding ------------------------------------------------------
+    def encode(self, feats: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """(B, T, F) → decoder memory (B, C, T', D)."""
+        enc = self.encoder(feats, deterministic=deterministic)
+        return self.projection(enc)
+
+    # ---- training forward ---------------------------------------------
+    def __call__(self, feats: jnp.ndarray, decoder_input_ids: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        """feats (B,T,F), ids (B,C,L) → logits (B,C,L,V)."""
+        memory = self.encode(feats, deterministic)
+        if self._multi:
+            return self.decoder(decoder_input_ids, memory, deterministic)
+        logits = self.decoder(decoder_input_ids[:, 0], memory[:, 0], deterministic)
+        return logits[:, None]
+
+    # ---- decode-time methods (explicit-cache, used under jit) ----------
+    def init_cross_kv(self, memory: jnp.ndarray) -> List[KV]:
+        """memory (B, C, T, D) → per-layer cross KV, channel-folded."""
+        if self._multi:
+            return self.decoder.init_cross_kv(memory)
+        return self.decoder.init_cross_kv(memory[:, 0])
+
+    def decode_step(self, token_ids: jnp.ndarray, pos: jnp.ndarray,
+                    self_kvs: List[KV], cross_kvs: List[KV]
+                    ) -> Tuple[jnp.ndarray, List[KV]]:
+        return self.decoder.decode_step(token_ids, pos, self_kvs, cross_kvs)
+
+    # ---- cache scaffolding ---------------------------------------------
+    def empty_self_kvs(self, batch_streams: int, max_len: int) -> List[KV]:
+        c = self.cfg
+        dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        shape = (batch_streams, c.num_heads, max_len, c.d_kv)
+        return [(jnp.zeros(shape, dt), jnp.zeros(shape, dt))
+                for _ in range(c.num_decoder_layers)]
+
+
+def shift_right(labels: jnp.ndarray, start_id: int = 0) -> jnp.ndarray:
+    """(…, L) labels → decoder inputs: [start, y₀, …, y_{L-2}]."""
+    return jnp.concatenate(
+        [jnp.full((*labels.shape[:-1], 1), start_id, labels.dtype),
+         labels[..., :-1]], axis=-1)
+
+
+def ce_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+            label_smoothing: float = 0.0) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pad-masked token cross entropy.
+
+    logits (B,C,L,V) fp32, labels (B,C,L) int32 → (scalar loss, accuracy).
+    """
+    V = logits.shape[-1]
+    mask = (labels != PAD_ID).astype(jnp.float32)
+    logz = jax.nn.log_softmax(logits, axis=-1)
+    ll = jnp.take_along_axis(logz, labels[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        smooth = jnp.mean(logz, axis=-1)
+        ll = (1.0 - label_smoothing) * ll + label_smoothing * smooth
+    denom = jnp.maximum(mask.sum(), 1.0)
+    loss = -(ll * mask).sum() / denom
+    acc = ((jnp.argmax(logits, -1) == labels) * mask).sum() / denom
+    return loss, acc

@@ -1,0 +1,74 @@
+"""Checkpoint save/restore via Orbax (SURVEY.md §5.4).
+
+Capability parity target: reference Lightning `ModelCheckpoint` (top-k +
+last, full optimizer state, resume) — here: Orbax checkpointing with
+atomic writes (preemption-safe, v5e preemptions are routine), metadata
+sidecar carrying preset/task names so `api.load_checkpoint(path)` can
+rebuild the exact bundle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+META_NAME = "ymt3_meta.json"
+
+
+def save_bundle(path: str, bundle, step: int = 0,
+                opt_state: Optional[Any] = None) -> None:
+    """Write params (+ optional optimizer state) and bundle metadata."""
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "params"), bundle.params, force=True)
+    if opt_state is not None:
+        ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
+    ckptr.wait_until_finished()
+    meta = {
+        "model_preset": bundle.cfg.name,
+        "task": bundle.task_manager.task.name,
+        "step": int(step),
+        "audio": {
+            "codec": bundle.audio_cfg.codec,
+            "sample_rate": bundle.audio_cfg.sample_rate,
+            "input_frames": bundle.audio_cfg.input_frames,
+            "n_fft": bundle.audio_cfg.n_fft,
+            "hop_length": bundle.audio_cfg.hop_length,
+            "n_mels": bundle.audio_cfg.n_mels,
+        },
+    }
+    with open(os.path.join(path, META_NAME), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def restore_bundle(path: str, model_preset: Optional[str] = None,
+                   task: Optional[str] = None, audio_cfg=None):
+    from ..api import init_model
+    from ..config.audio import AudioConfig
+    path = os.path.abspath(path)
+    meta_path = os.path.join(path, META_NAME)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    preset = model_preset or meta.get("model_preset", "t5_small")
+    task = task or meta.get("task", "mt3_full_plus")
+    if audio_cfg is None:
+        a = meta.get("audio", {})
+        audio_cfg = AudioConfig(**a) if a else AudioConfig()
+    bundle = init_model(preset, task, audio_cfg)
+    ckptr = ocp.StandardCheckpointer()
+    target = jax.tree_util.tree_map(np.asarray, bundle.params)
+    bundle.params = ckptr.restore(os.path.join(path, "params"), target)
+    return bundle
+
+
+def restore_opt_state(path: str, target) -> Any:
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.join(os.path.abspath(path), "opt_state"), target)

@@ -1,0 +1,77 @@
+"""Jitted training/eval steps under data-parallel sharding.
+
+Capability parity target: reference `model/ymt3.py` `training_step`
+(SURVEY.md C25: teacher-forced CE with pad masking) and the Lightning DDP
+runtime (C28) — replaced by ONE jitted function whose batch inputs carry a
+`data`-axis sharding; XLA inserts the gradient psum over ICI
+(SURVEY.md §5.8: strictly simpler than NCCL DDP).
+
+The frontend (+ augmentations) runs inside the step so raw int16/float
+audio is what crosses host→device (SURVEY.md §3.1 hot-loop note).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.ymt3 import YMT3, ce_loss, shift_right
+from ..ops.frontend import SpectrogramFrontend
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+
+
+def make_train_step(model: YMT3, frontend: SpectrogramFrontend,
+                    tx: optax.GradientTransformation,
+                    augment_fn=None, label_smoothing: float = 0.0):
+    """→ train_step(state, batch, rng) -> (state, metrics).
+
+    batch: {"audio": (B, input_frames) f32, "labels": (B, C, L) i32}.
+    Donates `state` so params update in place on device.
+    """
+
+    def loss_fn(params, audio, labels, rng):
+        feats = frontend(audio)
+        if augment_fn is not None:
+            rng, k = jax.random.split(rng)
+            feats = augment_fn(k, feats)
+        dec_in = shift_right(labels)
+        logits = model.apply(params, feats, dec_in, deterministic=False,
+                             rngs={"dropout": rng})
+        loss, acc = ce_loss(logits, labels, label_smoothing)
+        return loss, acc
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch["audio"], batch["labels"], rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (TrainState(state.step + 1, params, opt_state),
+                {"loss": loss, "accuracy": acc, "grad_norm": gnorm})
+
+    return train_step
+
+
+def make_eval_loss_step(model: YMT3, frontend: SpectrogramFrontend):
+    @jax.jit
+    def eval_step(params, batch):
+        feats = frontend(batch["audio"])
+        logits = model.apply(params, feats, shift_right(batch["labels"]))
+        loss, acc = ce_loss(logits, batch["labels"])
+        return {"loss": loss, "accuracy": acc}
+
+    return eval_step
