@@ -18,9 +18,13 @@ import numpy as np
 
 
 def main():
+    import functools
+
     import jax
     import jax.numpy as jnp
-    from yourmt3_tpu.api import _transcribe_batch, init_model
+    from yourmt3_tpu.api import init_model
+    from yourmt3_tpu.models.decoding import greedy_decode
+    from yourmt3_tpu.models.ymt3 import YMT3
 
     model_preset = "t5_small"
     task = "mt3_full_plus"
@@ -44,16 +48,22 @@ def main():
     audio = jnp.asarray(rng.standard_normal((batch, ac.input_frames)),
                         jnp.float32) * 0.1
 
-    # warmup/compile
-    ids = _transcribe_batch(bundle.model, bundle.params, bundle.frontend,
-                            audio, max_length, None)
+    # worst-case honest decode: EOS banned ⇒ the while-loop runs all
+    # max_length steps (a trained model early-exits and is strictly faster)
+    @functools.partial(jax.jit, static_argnames=())
+    def run(params, audio):
+        feats = bundle.frontend(audio)
+        memory = bundle.model.apply(params, feats, method=YMT3.encode)
+        return greedy_decode(bundle.model, params, memory, max_length,
+                             ban_eos=True)
+
+    ids = run(bundle.params, audio)
     ids.block_until_ready()
 
     n_iters = 3
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        ids = _transcribe_batch(bundle.model, bundle.params, bundle.frontend,
-                                audio, max_length, None)
+        ids = run(bundle.params, audio)
     ids.block_until_ready()
     dt = (time.perf_counter() - t0) / n_iters
 

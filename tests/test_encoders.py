@@ -1,0 +1,87 @@
+"""Perceiver-TF / Conformer encoder family tests (SURVEY.md C22, C23)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yourmt3_tpu.config.model import CONFORMER_SMALL, PERCEIVER_TF_MC13
+from yourmt3_tpu.models.decoding import greedy_decode
+from yourmt3_tpu.models.ymt3 import YMT3, ce_loss, shift_right
+
+
+def tiny_ptf_cfg(**kw):
+    base = dict(
+        vocab_size=600, ptf_num_latents=26, ptf_d_latent=32, ptf_num_blocks=2,
+        d_model=64, d_kv=16, num_heads=4, d_ff=128, num_decoder_layers=2,
+        conv_channels=16, max_target_length=32)
+    base.update(kw)
+    return PERCEIVER_TF_MC13.replace(**base)
+
+
+class TestPerceiverTF:
+    @pytest.fixture(scope="class")
+    def built(self):
+        cfg = tiny_ptf_cfg()
+        model = YMT3(cfg)
+        feats = jnp.zeros((2, 16, 64))
+        ids = jnp.zeros((2, 13, 8), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), feats, ids)
+        return cfg, model, params, feats, ids
+
+    def test_forward_and_memory_shapes(self, built):
+        cfg, model, params, feats, ids = built
+        logits = model.apply(params, feats, ids)
+        assert logits.shape == (2, 13, 8, 600)
+        mem = model.apply(params, feats, method=YMT3.encode)
+        # 26 latents grouped into 13 channels of 2
+        assert mem.shape == (2, 13, 16, cfg.d_model)
+
+    def test_decode_and_loss(self, built):
+        cfg, model, params, feats, ids = built
+        out = greedy_decode(model, params,
+                            model.apply(params, feats, method=YMT3.encode),
+                            max_length=8)
+        assert out.shape == (2, 13, 8)
+        loss, _ = ce_loss(model.apply(params, feats, ids), ids)
+        assert np.isfinite(float(loss))
+
+    def test_channel_grouping_requires_divisibility(self):
+        cfg = tiny_ptf_cfg(ptf_num_latents=25)
+        model = YMT3(cfg)
+        with pytest.raises(ValueError, match="not divisible"):
+            model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 64)),
+                       jnp.zeros((1, 13, 4), jnp.int32))
+
+    def test_moe_variant(self):
+        cfg = tiny_ptf_cfg(ptf_num_moe_experts=4, ptf_moe_topk=2)
+        model = YMT3(cfg)
+        feats = jnp.ones((1, 8, 64))
+        # non-PAD labels: all-PAD would mask the loss to zero ⇒ zero grads
+        ids = jnp.full((1, 13, 4), 7, jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), feats, ids)
+        logits = model.apply(params, feats, ids)
+        assert logits.shape == (1, 13, 4, 600)
+        # grads flow through router + experts
+        g = jax.grad(lambda p: ce_loss(model.apply(p, feats, ids), ids)[0])(params)
+        moe_leaves = [l for path, l in
+                      jax.tree_util.tree_flatten_with_path(g)[0]
+                      if any("ff" in str(k) for k in path)]
+        assert any(float(jnp.abs(l).max()) > 0 for l in moe_leaves)
+
+
+class TestConformer:
+    def test_forward_and_decode(self):
+        cfg = CONFORMER_SMALL.replace(
+            vocab_size=600, d_model=64, d_kv=16, num_heads=4, d_ff=128,
+            num_encoder_layers=2, num_decoder_layers=2, max_target_length=32)
+        model = YMT3(cfg)
+        feats = jnp.zeros((2, 16, 64))
+        ids = jnp.zeros((2, 1, 8), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), feats, ids)
+        logits = model.apply(params, feats, ids)
+        assert logits.shape == (2, 1, 8, 600)
+        mem = model.apply(params, feats, method=YMT3.encode)
+        out = greedy_decode(model, params, mem, max_length=8)
+        assert out.shape == (2, 1, 8)

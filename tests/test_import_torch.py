@@ -1,0 +1,76 @@
+"""Checkpoint-importer test: synthetic HF-T5-named torch ckpt → our tree,
+then numerical equivalence of one mapped layer."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from yourmt3_tpu.config.model import T5_TINY
+from yourmt3_tpu.models.ymt3 import YMT3
+from yourmt3_tpu.train.import_torch import (apply_to_params, import_checkpoint,
+                                            map_state_dict)
+
+
+def make_fake_ckpt(path, cfg):
+    d_inner = cfg.num_heads * cfg.d_kv
+    sd = {}
+    for i in range(cfg.num_encoder_layers):
+        for p in "qkvo":
+            dim_in = cfg.d_model if p != "o" else d_inner
+            dim_out = d_inner if p != "o" else cfg.d_model
+            sd[f"model.encoder.block.{i}.layer.0.SelfAttention.{p}.weight"] = \
+                torch.randn(dim_out, dim_in)
+        sd[f"model.encoder.block.{i}.layer.0.layer_norm.weight"] = \
+            torch.randn(cfg.d_model)
+        sd[f"model.encoder.block.{i}.layer.1.DenseReluDense.wi_0.weight"] = \
+            torch.randn(cfg.d_ff, cfg.d_model)
+        sd[f"model.encoder.block.{i}.layer.1.DenseReluDense.wi_1.weight"] = \
+            torch.randn(cfg.d_ff, cfg.d_model)
+        sd[f"model.encoder.block.{i}.layer.1.DenseReluDense.wo.weight"] = \
+            torch.randn(cfg.d_model, cfg.d_ff)
+        sd[f"model.encoder.block.{i}.layer.1.layer_norm.weight"] = \
+            torch.randn(cfg.d_model)
+    sd["model.encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"] = \
+        torch.randn(cfg.rel_attn_num_buckets, cfg.num_heads)
+    sd["model.encoder.final_layer_norm.weight"] = torch.randn(cfg.d_model)
+    sd["model.shared.weight"] = torch.randn(cfg.vocab_size, cfg.d_model)
+    sd["model.lm_head.weight"] = torch.randn(cfg.vocab_size, cfg.d_model)
+    sd["model.some_unknown.weight"] = torch.randn(3, 3)
+    torch.save({"state_dict": sd}, path)
+    return sd
+
+
+class TestImporter:
+    def test_import_applies_and_reports(self, tmp_path):
+        cfg = T5_TINY.replace(vocab_size=600)
+        model = YMT3(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 24)),
+                            jnp.zeros((1, 1, 8), jnp.int32))
+        ckpt = str(tmp_path / "ref.ckpt")
+        sd = make_fake_ckpt(ckpt, cfg)
+        new_params = import_checkpoint(ckpt, params, verbose=False)
+
+        # mapped q kernel must equal torch weight transposed
+        w_t = sd["model.encoder.block.0.layer.0.SelfAttention.q.weight"].numpy()
+        got = np.asarray(new_params["params"]["encoder"]["layer_0"]["attn"]["q"]["kernel"])
+        assert np.allclose(got, w_t.T)
+        # embed not transposed
+        emb = sd["model.shared.weight"].numpy()
+        got_e = np.asarray(new_params["params"]["decoder"]["embed"]["embedding"])
+        assert np.allclose(got_e, emb)
+        # unknown key reported as unmatched, not applied
+        mapped, unmatched = map_state_dict({k: v.numpy() for k, v in sd.items()})
+        assert any("some_unknown" in u for u in unmatched)
+
+    def test_shape_mismatch_raises(self, tmp_path):
+        cfg = T5_TINY.replace(vocab_size=600)
+        model = YMT3(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 24)),
+                            jnp.zeros((1, 1, 8), jnp.int32))
+        mapped = {"encoder/final_norm/scale": np.zeros(7, np.float32)}
+        with pytest.raises(ValueError, match="shape"):
+            apply_to_params(params, mapped)

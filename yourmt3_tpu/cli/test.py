@@ -1,0 +1,52 @@
+"""Evaluation CLI.
+
+Capability parity target: reference `test.py` (SURVEY.md C30):
+load checkpoint → decode eval preset → per-dataset metric tables with
+eval-vocab remapping.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Evaluate a YMT3 checkpoint")
+    p.add_argument("-ckpt", "--checkpoint", required=True)
+    p.add_argument("-d", "--data-preset", default="synth_smoke")
+    p.add_argument("--split", default="test")
+    p.add_argument("-b", "--batch-size", type=int, default=8)
+    p.add_argument("--max-tracks", type=int, default=None)
+    p.add_argument("--subtask", default=None)
+    p.add_argument("--output-json", default=None)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..api import load_checkpoint
+    from ..config.data_presets import get_data_preset
+    from ..data.dataset_eval import AudioFileDataset
+    from ..eval.evaluator import evaluate_file_dataset
+
+    bundle = load_checkpoint(args.checkpoint)
+    preset = get_data_preset(args.data_preset)
+    results = {}
+    for entry, idx in zip(preset.entries, preset.index_files(args.split)):
+        print(f"== {entry.dataset} ({args.split}) ==")
+        ds = AudioFileDataset(idx, bundle.audio_cfg, max_tracks=args.max_tracks)
+        res = evaluate_file_dataset(
+            bundle, ds, eval_program_vocab=entry.eval_program_vocab,
+            eval_drum_vocab=entry.eval_drum_vocab,
+            batch_size=args.batch_size, subtask=args.subtask)
+        results[entry.dataset] = res
+        print("  " + " ".join(f"{k}={v:.4f}" for k, v in res.items()))
+    if args.output_json:
+        with open(args.output_json, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""One-shot transcription CLI: audio file(s) → MIDI.
+
+Capability parity target: reference HF-Space/Colab surface
+(SURVEY.md C31, §3.3; README.md:8-10 proves the surfaces). The YouTube
+path of the reference (yt-dlp) needs network — gated behind --url and an
+informative error offline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Transcribe audio → MIDI")
+    p.add_argument("inputs", nargs="*", help="audio files (wav)")
+    p.add_argument("--url", default=None,
+                   help="YouTube URL (requires network + yt-dlp; reference "
+                        "README.md:10 surface)")
+    p.add_argument("-ckpt", "--checkpoint", default=None,
+                   help="checkpoint dir; omit for a randomly-initialized "
+                        "model (smoke only)")
+    p.add_argument("-m", "--model", default="t5_small")
+    p.add_argument("-t", "--task", default="mt3_full_plus")
+    p.add_argument("-o", "--output-dir", default=".")
+    p.add_argument("-b", "--batch-size", type=int, default=8)
+    p.add_argument("--subtask", default=None)
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..api import init_model, load_checkpoint, transcribe
+
+    inputs = list(args.inputs)
+    if args.url:
+        try:
+            import yt_dlp  # noqa: F401
+        except ImportError:
+            raise SystemExit("YouTube ingestion requires yt-dlp + network; "
+                             "unavailable in this environment. Pass a local "
+                             "audio file instead.")
+    if not inputs:
+        raise SystemExit("no input files")
+
+    bundle = (load_checkpoint(args.checkpoint) if args.checkpoint
+              else init_model(args.model, args.task))
+    os.makedirs(args.output_dir, exist_ok=True)
+    for path in inputs:
+        out = os.path.join(
+            args.output_dir,
+            os.path.splitext(os.path.basename(path))[0] + ".mid")
+        mid = transcribe(bundle, path, out, batch_size=args.batch_size,
+                         subtask=args.subtask)
+        print(f"{path} -> {mid}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Full transcription evaluation: decode whole files, compute F1 tables.
+
+Capability parity target: reference `test.py` + `YourMT3.test_step`
+(SURVEY.md C30, §3.2): per-track segment-batch greedy decode → detokenize
+→ cross-segment merge → AMTMetrics; per-dataset metric tables with
+eval-vocab remapping.
+
+TPU-first: all segments of a track are decoded in fixed-size batches of
+one compiled program; the host only runs the final stateful merge.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..api import ModelBundle, transcribe_audio_array
+from ..config.vocabulary import (DRUM_VOCABULARIES, PROGRAM_VOCABULARIES,
+                                 DrumVocabulary, InstrumentVocabulary)
+from ..data.dataset_eval import AudioFileDataset
+from .metrics import AMTMetrics
+
+
+def evaluate_file_dataset(
+    bundle: ModelBundle,
+    dataset: AudioFileDataset,
+    eval_program_vocab: Optional[str] = None,
+    eval_drum_vocab: Optional[str] = None,
+    batch_size: int = 8,
+    subtask: Optional[str] = None,
+    verbose: bool = True,
+) -> Dict[str, float]:
+    """→ macro-averaged metric dict over the dataset's tracks."""
+    pv: Optional[InstrumentVocabulary] = (
+        PROGRAM_VOCABULARIES[eval_program_vocab] if eval_program_vocab else None)
+    dv: Optional[DrumVocabulary] = (
+        DRUM_VOCABULARIES[eval_drum_vocab] if eval_drum_vocab else None)
+    metrics = AMTMetrics(pv, dv)
+    total_err = 0
+    for track_id, segments, start_times, ref_notes in dataset:
+        # reuse the batched full-song path on the pre-sliced segments
+        audio_flat = segments.reshape(-1)[: segments.shape[0] * bundle.audio_cfg.input_frames]
+        est_notes, err = transcribe_audio_array(
+            bundle, audio_flat, batch_size=batch_size, subtask=subtask)
+        total_err += err.total()
+        ref = bundle.task_manager.remap_notes(ref_notes)
+        s = metrics.update(ref, est_notes)
+        if verbose:
+            print(f"  {track_id}: onset_f1={s.onset_f1:.4f} "
+                  f"offset_f1={s.offset_f1:.4f} multi_f1={s.multi_f1:.4f} "
+                  f"drum_f1={s.drum_f1:.4f}")
+    out = metrics.compute()
+    out["decode_errors"] = float(total_err)
+    out["num_tracks"] = float(metrics.num_tracks)
+    return out

@@ -39,6 +39,7 @@ def greedy_decode(
     max_length: int,
     prefix_ids: Optional[jnp.ndarray] = None,  # (P,) forced prefix (task tokens)
     eos_id: int = EOS_ID,
+    ban_eos: bool = False,  # benchmarking: force worst-case full-length decode
 ) -> jnp.ndarray:
     """→ (B, C, max_length) int32 token ids (PAD-filled after EOS)."""
     B, C = memory.shape[0], memory.shape[1]
@@ -58,6 +59,8 @@ def greedy_decode(
         tok = jax.lax.dynamic_slice(st.buf, (0, st.pos), (BS, 1))
         logits, new_kvs = model.apply(params, tok, st.pos, st.self_kvs,
                                       cross_kvs, method=YMT3.decode_step)
+        if ban_eos:
+            logits = logits.at[:, eos_id].set(-1e9)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         if P > 0:  # force task-token prefix positions
             forced = prefix_ids[jnp.minimum(st.pos, P - 1)].astype(jnp.int32)

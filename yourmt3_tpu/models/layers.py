@@ -220,12 +220,13 @@ class MoEFeedForward(nn.Module):
         wo = self.param("wo", nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
                         (self.num_experts, self.d_ff, d), jnp.float32)
         a = ACTIVATIONS[self.act]
-        h = jnp.einsum("btd,edf->btef", x, wi.astype(self.dtype),
-                       preferred_element_type=jnp.float32).astype(self.dtype)
-        h = a(h)
-        y = jnp.einsum("btef,efd->bted", h, wo.astype(self.dtype),
-                       preferred_element_type=jnp.float32)
-        return jnp.einsum("bted,bte->btd", y, gate.astype(y.dtype)).astype(self.dtype)
+        # fp32 expert compute: CPU XLA lacks mixed bf16→f32 dot thunks for
+        # the backward of batched einsums, and at ≤8 experts the fp32 cost
+        # is negligible next to the attention stacks.
+        x32 = x.astype(jnp.float32)
+        h = a(jnp.einsum("btd,edf->btef", x32, wi))
+        y = jnp.einsum("btef,efd->bted", h, wo)
+        return jnp.einsum("bted,bte->btd", y, gate).astype(self.dtype)
 
 
 def sinusoidal_positions(length: int, dim: int) -> np.ndarray:

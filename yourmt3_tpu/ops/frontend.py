@@ -104,18 +104,21 @@ class SpectrogramFrontend:
     basis_cos: jnp.ndarray  # (n_fft, n_bins)
     basis_sin: jnp.ndarray  # (n_fft, n_bins)
     mel_fb: Optional[jnp.ndarray]  # (n_bins, n_mels) or None for "spec"
+    use_pallas: bool = False  # fused TPU kernel (ops/pallas/frontend_kernel)
 
     # -- pytree plumbing so the frontend can ride through jit boundaries --
     def tree_flatten(self):
         return ((self.window, self.basis_cos, self.basis_sin, self.mel_fb),
-                self.cfg)
+                (self.cfg, self.use_pallas))
 
     @classmethod
-    def tree_unflatten(cls, cfg, leaves):
-        return cls(cfg, *leaves)
+    def tree_unflatten(cls, aux, leaves):
+        cfg, use_pallas = aux
+        return cls(cfg, *leaves, use_pallas=use_pallas)
 
     @classmethod
-    def from_config(cls, cfg: AudioConfig, dtype=jnp.float32) -> "SpectrogramFrontend":
+    def from_config(cls, cfg: AudioConfig, dtype=jnp.float32,
+                    use_pallas: bool = False) -> "SpectrogramFrontend":
         n_bins = cfg.n_fft // 2 + 1
         cos_b, sin_b = rfft_basis(cfg.n_fft)
         win = hann_window(cfg.n_fft)
@@ -132,6 +135,7 @@ class SpectrogramFrontend:
             basis_cos=jnp.asarray(cos_b, dtype),
             basis_sin=jnp.asarray(sin_b, dtype),
             mel_fb=None if mel is None else jnp.asarray(mel, dtype),
+            use_pallas=use_pallas,
         )
 
     # ------------------------------------------------------------------
@@ -156,6 +160,10 @@ class SpectrogramFrontend:
         if audio.ndim == 3:
             audio = audio[:, 0, :]
         audio = audio.astype(jnp.float32)
+        if self.use_pallas and self.mel_fb is not None:
+            from .pallas.frontend_kernel import fused_logmel
+            return fused_logmel(audio, self.basis_cos, self.basis_sin,
+                                self.mel_fb, self.cfg)
         frames = self.frame(audio)  # (B, T, n_fft); window folded into bases
         re = jnp.einsum("btn,nf->btf", frames, self.basis_cos,
                         preferred_element_type=jnp.float32)

@@ -35,14 +35,21 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 
 def make_train_step(model: YMT3, frontend: SpectrogramFrontend,
                     tx: optax.GradientTransformation,
-                    augment_fn=None, label_smoothing: float = 0.0):
+                    augment_fn=None, label_smoothing: float = 0.0,
+                    pitch_shift_semitones=None):
     """→ train_step(state, batch, rng) -> (state, metrics).
 
-    batch: {"audio": (B, input_frames) f32, "labels": (B, C, L) i32}.
+    batch: {"audio": (B, input_frames) f32, "labels": (B, C, L) i32,
+    optional "pitch_shift_idx": (B,) i32 selecting a static semitone from
+    `pitch_shift_semitones` (labels are pre-shifted host-side)}.
     Donates `state` so params update in place on device.
     """
 
-    def loss_fn(params, audio, labels, rng):
+    def loss_fn(params, audio, labels, pitch_shift_idx, rng):
+        if pitch_shift_semitones is not None and pitch_shift_idx is not None:
+            from ..ops.pitchshift import batched_pitch_shift
+            audio = batched_pitch_shift(audio, pitch_shift_idx,
+                                        tuple(pitch_shift_semitones))
         feats = frontend(audio)
         if augment_fn is not None:
             rng, k = jax.random.split(rng)
@@ -56,7 +63,8 @@ def make_train_step(model: YMT3, frontend: SpectrogramFrontend,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, dict]:
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch["audio"], batch["labels"], rng)
+            state.params, batch["audio"], batch["labels"],
+            batch.get("pitch_shift_idx"), rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)

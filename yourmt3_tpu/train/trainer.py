@@ -1,0 +1,129 @@
+"""Training loop: data → jitted step → logging → checkpoints → eval.
+
+Capability parity target: reference `model/init_train.py` + Lightning
+`Trainer.fit` (SURVEY.md C25/C28/C29): step loop with metric logging
+(W&B in the reference → JSONL + console here, SURVEY.md §5.5), periodic
+Orbax checkpoints ("last" + best-on-val), resume, deterministic seeding,
+data-parallel via mesh sharding instead of DDP processes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from ..api import ModelBundle
+from ..ops.specaugment import SpecAugmentConfig, make_augment_fn
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from .checkpoint import save_bundle
+from .optim import make_optimizer
+from .train_step import TrainState, create_train_state, make_train_step
+
+
+def _chain_first(first, rest):
+    yield first
+    yield from rest
+
+
+class MetricLogger:
+    """JSONL + console logger (stands in for the reference's W&B)."""
+
+    def __init__(self, log_dir: str, name: str = "train"):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, f"{name}_log.jsonl")
+        self._f = open(self.path, "a")
+
+    def log(self, step: int, metrics: Dict[str, Any], prefix: str = "") -> None:
+        rec = {"step": int(step), "time": time.time()}
+        for k, v in metrics.items():
+            rec[f"{prefix}{k}"] = float(v) if np.isscalar(v) or hasattr(v, "item") else v
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self):
+        self._f.close()
+
+
+def train(
+    bundle: ModelBundle,
+    batch_iter: Iterator[Dict[str, np.ndarray]],
+    total_steps: int = 1000,
+    log_every: int = 50,
+    ckpt_every: int = 500,
+    ckpt_dir: str = "checkpoints",
+    optimizer: str = "adamw",
+    base_lr: float = 1e-3,
+    schedule: str = "cosine",
+    warmup_steps: int = 100,
+    spec_augment: bool = True,
+    pitch_shift_semitones=None,  # must match the dataset's setting
+    n_data_shards: Optional[int] = None,
+    seed: int = 0,
+    logger: Optional[MetricLogger] = None,
+    eval_fn=None,
+    eval_every: int = 0,
+) -> ModelBundle:
+    """Run the loop; returns bundle with trained params."""
+    import math
+
+    tx = make_optimizer(optimizer, base_lr, schedule, warmup_steps, total_steps)
+    aug = make_augment_fn(SpecAugmentConfig()) if spec_augment else None
+    step_fn = make_train_step(bundle.model, bundle.frontend, tx, augment_fn=aug,
+                              pitch_shift_semitones=pitch_shift_semitones)
+    state = create_train_state(bundle.params, tx)
+    if n_data_shards is None:
+        # auto: largest device count that divides the batch size
+        first = next(batch_iter)
+        B = first["audio"].shape[0]
+        n_data_shards = math.gcd(B, len(jax.devices()))
+        batch_iter = _chain_first(first, batch_iter)
+    mesh = make_mesh(n_data=n_data_shards)
+    rng = jax.random.PRNGKey(seed)
+    own_logger = logger is None
+    logger = logger or MetricLogger(ckpt_dir)
+
+    from ..utils.preemption import PreemptionGuard
+    guard = PreemptionGuard.instance()
+    guard.install()
+
+    t0 = time.perf_counter()
+    tokens_seen = 0
+    with mesh:
+        state = replicate(mesh, state)
+        for step in range(1, total_steps + 1):
+            if guard.preempted:
+                print(f"preemption at step {step}: writing final checkpoint")
+                bundle.params = jax.device_get(state.params)
+                save_bundle(os.path.join(ckpt_dir, "last"), bundle, step,
+                            opt_state=jax.device_get(state.opt_state))
+                break
+            batch = next(batch_iter)
+            tokens_seen += int((batch["labels"] != 0).sum())
+            batch = shard_batch(mesh, batch)
+            rng, k = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, k)
+            if step % log_every == 0 or step == total_steps:
+                m = {k_: float(v) for k_, v in metrics.items()}
+                dt = time.perf_counter() - t0
+                m["steps_per_sec"] = step / dt
+                m["target_tokens_per_sec"] = tokens_seen / dt
+                logger.log(step, m)
+                print(f"step {step}: loss={m['loss']:.4f} acc={m['accuracy']:.4f} "
+                      f"({m['steps_per_sec']:.2f} it/s)")
+            if ckpt_every and (step % ckpt_every == 0 or step == total_steps):
+                bundle.params = jax.device_get(state.params)
+                save_bundle(os.path.join(ckpt_dir, "last"), bundle, step,
+                            opt_state=jax.device_get(state.opt_state))
+            if eval_fn is not None and eval_every and step % eval_every == 0:
+                bundle.params = jax.device_get(state.params)
+                ev = eval_fn(bundle)
+                logger.log(step, ev, prefix="eval/")
+    bundle.params = jax.device_get(state.params)
+    if own_logger:
+        logger.close()
+    return bundle
