@@ -1,0 +1,40 @@
+"""Chunk-parallel song streaming over the virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yourmt3_tpu.api import init_model, transcribe_audio_array
+from yourmt3_tpu.config.audio import AudioConfig
+from yourmt3_tpu.parallel.chunk_stream import transcribe_song_chunk_parallel
+from yourmt3_tpu.parallel.mesh import make_mesh
+
+TINY_AUDIO = AudioConfig(input_frames=4095, n_fft=512, hop_length=128,
+                         n_mels=64)
+
+
+class TestChunkParallel:
+    def test_sharded_matches_single_device(self):
+        assert len(jax.devices()) == 8
+        bundle = init_model("t5_tiny", "mt3_full_plus", audio_cfg=TINY_AUDIO)
+        rng = np.random.default_rng(0)
+        song = (rng.standard_normal(int(TINY_AUDIO.sample_rate * 3.1)) * 0.1
+                ).astype(np.float32)
+
+        mesh = make_mesh(n_data=8)
+        notes_sharded, err_s = transcribe_song_chunk_parallel(
+            bundle, song, mesh, segments_per_device=2)
+        notes_single, err_u = transcribe_audio_array(bundle, song,
+                                                     batch_size=4)
+        key = lambda n: (round(n.onset, 3), n.is_drum, n.program, n.pitch)
+        assert sorted(map(key, notes_sharded)) == sorted(map(key, notes_single))
+
+    def test_empty_song(self):
+        bundle = init_model("t5_tiny", "mt3_full_plus", audio_cfg=TINY_AUDIO)
+        song = np.zeros(100, np.float32)
+        notes, err = transcribe_song_chunk_parallel(bundle, song,
+                                                    make_mesh(n_data=8),
+                                                    segments_per_device=1)
+        assert isinstance(notes, list)

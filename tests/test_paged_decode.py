@@ -1,0 +1,70 @@
+"""Paged decode-attention kernel: parity vs dense reference (interpret
+mode on CPU) and the cache-update helpers (SURVEY.md §7 hard-part 2)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yourmt3_tpu.ops.pallas.decode_attention import (
+    empty_paged_cache, paged_cache_update, paged_decode_attention,
+    paged_to_dense, reference_decode_attention)
+
+
+class TestPagedKernel:
+    @pytest.mark.parametrize("pos", [0, 5, 127, 128, 200, 255])
+    def test_matches_dense(self, pos):
+        rng = np.random.default_rng(0)
+        S, H, L, dk, BLK = 4, 2, 256, 32, 128
+        q = jnp.asarray(rng.standard_normal((S, H, dk)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((L // BLK, S, H, dk, BLK)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((L // BLK, S, H, dk, BLK)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((H, L)), jnp.float32)
+        want = reference_decode_attention(q, k, v, pos, bias)
+        got = paged_decode_attention(q, k, v, jnp.asarray(pos), bias,
+                                     block=BLK, streams_per_tile=2,
+                                     interpret=True)
+        assert float(jnp.max(jnp.abs(want - got))) < 1e-4
+
+    def test_cache_update_roundtrip(self):
+        rng = np.random.default_rng(1)
+        S, H, dk, L, BLK = 3, 2, 16, 256, 128
+        c = empty_paged_cache(S, H, dk, L, BLK, jnp.float32)
+        step = jnp.asarray(rng.standard_normal((S, H, 1, dk)), jnp.float32)
+        for pos in (0, 127, 128, 255):
+            c2 = paged_cache_update(c, step, jnp.asarray(pos))
+            dense = paged_to_dense(c2)
+            assert np.allclose(np.asarray(dense[:, :, :, pos]),
+                               np.asarray(step[:, :, 0, :]))
+            # everything else untouched (zero)
+            mask = np.ones(L, bool)
+            mask[pos] = False
+            assert np.all(np.asarray(dense[:, :, :, mask]) == 0)
+
+    def test_model_decode_step_with_pallas_flag(self):
+        """decode_step logits with the paged-cache path must match the
+        dense-cache path numerically (argmax chains on an UNTRAINED model
+        diverge from ulp-level ties, so compare logits, not tokens)."""
+        from yourmt3_tpu.config.model import T5_TINY
+        from yourmt3_tpu.models.ymt3 import YMT3
+        cfg_d = T5_TINY.replace(vocab_size=600, d_kv=16, num_heads=4)
+        cfg_p = cfg_d.replace(use_pallas_decode=True)
+        model_d, model_p = YMT3(cfg_d), YMT3(cfg_p)
+        feats = jnp.asarray(np.random.default_rng(2).standard_normal((1, 16, 24)),
+                            jnp.float32)
+        params = model_d.init(jax.random.PRNGKey(0), feats,
+                              jnp.zeros((1, 1, 8), jnp.int32))
+        mem = model_d.apply(params, feats, method=YMT3.encode)
+        cross = model_d.apply(params, mem, method=YMT3.init_cross_kv)
+        kv_d = model_d.empty_self_kvs(1, 128)
+        kv_p = model_p.empty_self_kvs(1, 128)
+        tok = jnp.asarray([[42]], jnp.int32)
+        for pos in range(4):
+            log_d, kv_d = model_d.apply(params, tok, jnp.asarray(pos),
+                                        kv_d, cross, method=YMT3.decode_step)
+            log_p, kv_p = model_p.apply(params, tok, jnp.asarray(pos),
+                                        kv_p, cross, method=YMT3.decode_step)
+            err = float(jnp.max(jnp.abs(log_d - log_p)))
+            assert err < 5e-2, (pos, err)
+            tok = jnp.argmax(log_d, -1)[:, None].astype(jnp.int32)

@@ -61,6 +61,7 @@ class ModelConfig:
     # decoding
     max_target_length: int = 1024
     decoder_start_token_id: int = 0  # PAD doubles as BOS (T5 convention)
+    use_pallas_decode: bool = False  # paged-KV decode attention kernel (TPU)
 
     # dtypes
     compute_dtype: str = "bfloat16"

@@ -23,7 +23,8 @@ from flax import linen as nn
 
 from ..config.model import ModelConfig
 from .layers import (NEG_INF, FeedForward, MoEFeedForward, MultiHeadAttention,
-                     RMSNorm, RelativePositionBias, relative_position_bucket)
+                     RMSNorm, RelativePositionBias, dot_product_attention,
+                     relative_position_bucket)
 
 Dtype = Any
 KV = Tuple[jnp.ndarray, jnp.ndarray]
@@ -125,10 +126,19 @@ class T5DecoderLayer(nn.Module):
         k_step = self.self_attn._split(self.self_attn.k(h))
         v_step = self.self_attn._split(self.self_attn.v(h))
         ck, cv = self_kv
-        ck = jax.lax.dynamic_update_slice(ck, k_step, (0, 0, pos, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v_step, (0, 0, pos, 0))
-        from .layers import dot_product_attention
-        att = dot_product_attention(q, ck, cv, step_bias)
+        if self.cfg.use_pallas_decode:
+            # paged-KV kernel path: caches are (NB, B, H, dk, block) pages —
+            # large contiguous DMA chunks; HBM reads ∝ pos+1, not L.
+            from ..ops.pallas.decode_attention import (paged_cache_update,
+                                                       paged_decode_attention)
+            ck = paged_cache_update(ck, k_step, pos)
+            cv = paged_cache_update(cv, v_step, pos)
+            att = paged_decode_attention(q, ck, cv, pos,
+                                         step_bias[0, :, 0, :])
+        else:
+            ck = jax.lax.dynamic_update_slice(ck, k_step, (0, 0, pos, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v_step, (0, 0, pos, 0))
+            att = dot_product_attention(q, ck, cv, step_bias)
         y = y + self.self_attn.o(self.self_attn._merge(att))
 
         h = self.norm_cross(y)
@@ -200,7 +210,8 @@ class T5Decoder(nn.Module):
         """token_ids: (B, 1) current tokens; pos: scalar position.
         → ((B, vocab) logits, updated self KV caches)."""
         y = self.embed(token_ids)
-        L = self_kvs[0][0].shape[2]
+        skv = self_kvs[0][0]
+        L = (skv.shape[0] * skv.shape[4]) if skv.ndim == 5 else skv.shape[2]
         bias = self.step_bias(pos, L)
         new_kvs: List[KV] = []
         for lyr, skv, ckv in zip(self.layers, self_kvs, cross_kvs):

@@ -78,6 +78,17 @@ class YMT3(nn.Module):
     def empty_self_kvs(self, batch_streams: int, max_len: int) -> List[KV]:
         c = self.cfg
         dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        if c.use_pallas_decode:
+            # paged layout (NB, S, H, dk, block): contiguous per-page DMA,
+            # see ops/pallas/decode_attention.py
+            from ..ops.pallas.decode_attention import empty_paged_cache
+            block = 128
+            padded = -(-max_len // block) * block
+            return [(empty_paged_cache(batch_streams, c.num_heads, c.d_kv,
+                                       padded, block, dt),
+                     empty_paged_cache(batch_streams, c.num_heads, c.d_kv,
+                                       padded, block, dt))
+                    for _ in range(c.num_decoder_layers)]
         shape = (batch_streams, c.num_heads, max_len, c.d_kv)
         return [(jnp.zeros(shape, dt), jnp.zeros(shape, dt))
                 for _ in range(c.num_decoder_layers)]

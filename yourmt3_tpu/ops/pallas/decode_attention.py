@@ -1,0 +1,203 @@
+"""Paged single-query decode attention (Pallas TPU kernel).
+
+North-star requirement (BASELINE.json): "pallas kernels for ... decode-step
+attention over a paged KV cache". This is the measured hot spot of
+autoregressive decoding: at step `pos`, XLA's dense attention reads the
+ENTIRE K/V caches from HBM every step (≈200 MB/step for t5-small B=16
+L=1024), even though only `pos+1` positions are live.
+
+Design: caches are paged (NB, S, H, dk, block) — one page is (dk, block),
+lane-aligned, H·dk·block·2B ≈ 98 KB contiguous per (page, stream). The
+grid is (stream_tiles, NB) and the page axis rides pallas' AUTOMATIC
+pipeline (double-buffered prefetch); pages beyond the live range are
+skipped by CLAMPING the BlockSpec index map to the last live page — a
+revisited block index issues no new DMA — and predicating the compute
+with @pl.when. Per-step HBM traffic is ∝ pos+1 instead of ∝ L. Softmax is
+online (flash single-query): running max m, normalizer l, accumulator acc
+persist in VMEM scratch across page steps.
+
+(A previous revision hand-rolled double-buffered DMA with a dynamic slot
+index; Mosaic materialized the slot select as full-buffer copies and ran
+~flat in pos. The clamped-index-map formulation keeps every ref static.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _kernel(pos_ref,  # scalar prefetch: (1,) int32
+            q_ref,  # (sp, H, dk) VMEM
+            bias_ref,  # (sp·H, L) VMEM — whole pre-tiled bias, sliced here
+            k_ref, v_ref,  # (1, sp, H, dk, block) VMEM — this page
+            out_ref,  # (sp, H, dk) VMEM
+            m_ref, l_ref, acc_ref,  # persistent scratch
+            *, block: int):
+    pos = pos_ref[0]
+    b = pl.program_id(1)
+    nb = pl.num_programs(1)
+    sp, H, dk = q_ref.shape
+    G = sp * H
+
+    @pl.when(b == 0)
+    def _():
+        m_ref[:] = jnp.full((G, 1), NEG_INF, jnp.float32)
+        l_ref[:] = jnp.zeros((G, 1), jnp.float32)
+        acc_ref[:] = jnp.zeros((G, dk), jnp.float32)
+
+    @pl.when(b * block <= pos)
+    def _():
+        q = q_ref[:].reshape(G, dk).astype(jnp.float32)
+        k = k_ref[0].reshape(G, dk, block).astype(jnp.float32)
+        v = v_ref[0].reshape(G, dk, block).astype(jnp.float32)
+        # logits (G, block) = Σ_d q[g,d]·k[g,d,j]  (singleton M dim for MXU)
+        logits = jax.lax.dot_general(
+            q[:, None, :], k,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]
+        logits += bias_ref[:, pl.ds(b * block, block)]
+        j = b * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+        logits = jnp.where(j <= pos, logits, NEG_INF)
+
+        m = m_ref[:]
+        m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
+        p = jnp.exp(logits - m_new)
+        scale = jnp.exp(m - m_new)
+        l_ref[:] = l_ref[:] * scale + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p[:, None, :], v,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]
+        acc_ref[:] = acc_ref[:] * scale + pv
+        m_ref[:] = m_new
+
+    @pl.when(b == nb - 1)
+    def _():
+        out = acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)
+        out_ref[:] = out.reshape(sp, H, dk).astype(out_ref.dtype)
+
+
+def paged_decode_attention(
+    q: jnp.ndarray,  # (S, H, 1, dk) or (S, H, dk)
+    k_cache: jnp.ndarray,  # (NB, S, H, dk, block) — paged layout
+    v_cache: jnp.ndarray,  # (NB, S, H, dk, block)
+    pos: jnp.ndarray,  # scalar int32 — lockstep decode position
+    bias_row: Optional[jnp.ndarray] = None,  # (H, L) additive bias for query
+    block: int = 128,
+    streams_per_tile: int = 8,
+    interpret: Optional[bool] = None,  # default: interpret off-TPU (tests)
+) -> jnp.ndarray:
+    """→ attention output with q's leading shape ((S, H, dk) or (S,H,1,dk))."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    squeeze = False
+    if q.ndim == 4:
+        q = q[:, :, 0, :]
+        squeeze = True
+    S, H, dk = q.shape
+    NB = k_cache.shape[0]
+    assert k_cache.shape[4] == block, (k_cache.shape, block)
+    L = NB * block
+    sp = min(streams_per_tile, S)
+    while S % sp:
+        sp -= 1
+    if bias_row is None:
+        bias_row = jnp.zeros((H, L), jnp.float32)
+    # pre-tile the bias over the stream tile OUTSIDE the kernel: an
+    # in-kernel jnp.tile of a sublane-misaligned (6, block) slice lowered
+    # to Mosaic slow-path copies costing ~20× the whole kernel (measured)
+    bias_tiled = jnp.tile(bias_row.astype(jnp.float32), (sp, 1))  # (sp·H, L)
+
+    def page_idx(i, b, pos_ref):
+        # clamp beyond-live pages to the last live page: pallas skips the
+        # DMA when the block index repeats, so dead pages cost nothing
+        return jnp.minimum(b, pos_ref[0] // block)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S // sp, NB),
+        in_specs=[
+            pl.BlockSpec((sp, H, dk), lambda i, b, p: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # whole bias with a CONSTANT index map: fetched once, not per
+            # page — a per-page bias fetch measured 15-30× kernel cost
+            pl.BlockSpec((sp * H, L), lambda i, b, p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, H, dk, block),
+                         lambda i, b, p: (page_idx(i, b, p), i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, H, dk, block),
+                         lambda i, b, p: (page_idx(i, b, p), i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((sp, H, dk), lambda i, b, p: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((sp * H, 1), jnp.float32),
+            pltpu.VMEM((sp * H, 1), jnp.float32),
+            pltpu.VMEM((sp * H, dk), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, block=block),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, H, dk), q.dtype),
+        interpret=interpret,
+    )(jnp.asarray([pos], jnp.int32).reshape(1), q, bias_tiled,
+      k_cache, v_cache)
+    return out[:, :, None, :] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Paged-cache helpers (used by models/t5.py decode path)
+# ---------------------------------------------------------------------------
+
+def empty_paged_cache(streams: int, heads: int, dk: int, max_len: int,
+                      block: int = 128, dtype=jnp.bfloat16) -> jnp.ndarray:
+    assert max_len % block == 0
+    return jnp.zeros((max_len // block, streams, heads, dk, block), dtype)
+
+
+def paged_cache_update(cache: jnp.ndarray, step_kv: jnp.ndarray,
+                       pos: jnp.ndarray) -> jnp.ndarray:
+    """Write one step's (S, H, 1, dk) K or V into the paged cache at pos."""
+    block = cache.shape[4]
+    page, off = pos // block, pos % block
+    upd = step_kv.transpose(0, 1, 3, 2)[None]  # (1, S, H, dk, 1)
+    return jax.lax.dynamic_update_slice(cache, upd.astype(cache.dtype),
+                                        (page, 0, 0, 0, off))
+
+
+def paged_to_dense(cache: jnp.ndarray) -> jnp.ndarray:
+    """(NB, S, H, dk, block) → (S, H, dk, L)."""
+    NB, S, H, dk, block = cache.shape
+    return cache.transpose(1, 2, 3, 0, 4).reshape(S, H, dk, NB * block)
+
+
+def reference_decode_attention(q, k_cache, v_cache, pos, bias_row=None):
+    """Dense XLA reference with identical semantics (paged or (S,H,dk,L))."""
+    if k_cache.ndim == 5:
+        k_cache = paged_to_dense(k_cache)
+        v_cache = paged_to_dense(v_cache)
+    if q.ndim == 3:
+        q = q[:, :, None, :]
+    S, H, _, dk = q.shape
+    L = k_cache.shape[3]
+    logits = jnp.einsum("shqd,shdk->shqk", q.astype(jnp.float32),
+                        k_cache.astype(jnp.float32))
+    if bias_row is not None:
+        logits += bias_row[None, :, None, :]
+    j = jnp.arange(L)[None, None, None, :]
+    logits = jnp.where(j <= pos, logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("shqk,shdk->shqd", p, v_cache.astype(jnp.float32))
+    return out[:, :, 0, :].astype(q.dtype)
