@@ -30,7 +30,7 @@ def main():
     task = "mt3_full_plus"
     batch = 32
     max_length = 1024
-    pallas_decode = True  # paged-KV kernel: 1.3× e2e vs dense (measured)
+    pallas_decode = None  # auto: kernel wins for long-L few-stream decode
     for a in sys.argv[1:]:
         if a.startswith("--model="):
             model_preset = a.split("=", 1)[1]
@@ -45,6 +45,10 @@ def main():
         elif a == "--no-pallas-decode":
             pallas_decode = False
 
+    if pallas_decode is None:
+        # measured: paged kernel 1.3× at L=1024 single-channel; loses at
+        # L=256 × 13 channels (per-program overhead × many short streams)
+        pallas_decode = max_length >= 512
     bundle = init_model(model_preset, task, use_pallas_decode=pallas_decode)
     ac = bundle.audio_cfg
     max_length = min(max_length, bundle.task_manager.max_token_length)

@@ -1,0 +1,77 @@
+"""Beam search decode: beam=1 ≡ greedy, beam>1 never scores worse."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yourmt3_tpu.config.model import T5_TINY
+from yourmt3_tpu.models.decoding import beam_decode, greedy_decode
+from yourmt3_tpu.models.ymt3 import YMT3
+from yourmt3_tpu.tokens.codec import EOS_ID, PAD_ID
+
+
+@pytest.fixture(scope="module")
+def built():
+    cfg = T5_TINY.replace(vocab_size=64)
+    model = YMT3(cfg)
+    feats = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 24)),
+                        jnp.float32)
+    params = model.init(jax.random.PRNGKey(3), feats,
+                        jnp.zeros((2, 1, 8), jnp.int32))
+    mem = model.apply(params, feats, method=YMT3.encode)
+    return cfg, model, params, mem
+
+
+class TestBeam:
+    def test_beam1_equals_greedy(self, built):
+        cfg, model, params, mem = built
+        g = np.asarray(greedy_decode(model, params, mem, max_length=16))
+        b = np.asarray(beam_decode(model, params, mem, max_length=16,
+                                   beam_size=1))
+        assert np.array_equal(g, b), (g[0, 0], b[0, 0])
+
+    def test_beam_shapes_and_padding(self, built):
+        cfg, model, params, mem = built
+        out = np.asarray(beam_decode(model, params, mem, max_length=12,
+                                     beam_size=3))
+        assert out.shape == (2, 1, 12)
+        # after first EOS everything is PAD
+        for row in out.reshape(-1, 12):
+            eos = np.where(row == EOS_ID)[0]
+            if len(eos):
+                assert np.all(row[eos[0] + 1:] == PAD_ID)
+
+    def test_beam_score_at_least_greedy(self, built):
+        """The beam-search winner's model log-prob must be ≥ the greedy
+        sequence's log-prob (on the same model)."""
+        from yourmt3_tpu.models.ymt3 import shift_right
+        cfg, model, params, mem = built
+
+        def lp(tokens):  # (L,) ids for batch el 0
+            ids = shift_right(jnp.asarray(tokens)[None, None, :])
+            logits = model.apply(params, ids, mem[:1],
+                                 method=lambda m, i, me: m.decoder(i[:, 0], me[:, 0]))
+            logz = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            tot, n = 0.0, 0
+            for t in range(len(tokens)):
+                tok = int(tokens[t])
+                tot += float(logz[0, t, tok])
+                if tok == EOS_ID:
+                    break
+                if tok == PAD_ID:
+                    break
+            return tot
+
+        g = np.asarray(greedy_decode(model, params, mem[:1], max_length=12))[0, 0]
+        b = np.asarray(beam_decode(model, params, mem[:1], max_length=12,
+                                   beam_size=4, length_penalty=0.0))[0, 0]
+        assert lp(g) <= lp(b) + 1e-4, (lp(g), lp(b))
+
+    def test_beam_with_prefix(self, built):
+        cfg, model, params, mem = built
+        out = np.asarray(beam_decode(model, params, mem, max_length=8,
+                                     beam_size=2,
+                                     prefix_ids=jnp.asarray([7, 9], jnp.int32)))
+        assert np.all(out[:, :, 0] == 7) and np.all(out[:, :, 1] == 9)

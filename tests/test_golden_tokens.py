@@ -1,0 +1,81 @@
+"""Golden-token fixtures (SURVEY.md §4.2): frozen expected id sequences
+for a fixed note chart. Guards the codec/serialization against silent
+drift — if one of these changes, every trained checkpoint breaks."""
+
+import numpy as np
+
+from yourmt3_tpu.tokens import EventCodec, Note, NoteEventTokenizer
+from yourmt3_tpu.tokens.dataclasses import Event
+
+
+def ids_of(events):
+    return EventCodec().encode_events(events).tolist()
+
+
+class TestVocabLayout:
+    def test_frozen_offsets(self):
+        """The id-space layout is a compatibility contract."""
+        c = EventCodec()
+        assert c.max_shift_steps == 206
+        assert c.offset_of("shift") == 3
+        assert c.offset_of("pitch") == 210
+        assert c.offset_of("velocity") == 338
+        assert c.offset_of("tie") == 340
+        assert c.offset_of("program") == 341
+        assert c.offset_of("drum") == 469
+        assert c.vocab_size == 597
+
+    def test_frozen_event_ids(self):
+        c = EventCodec()
+        assert c.encode_event(Event("shift", 0)) == 3
+        assert c.encode_event(Event("shift", 100)) == 103
+        assert c.encode_event(Event("pitch", 60)) == 270
+        assert c.encode_event(Event("velocity", 1)) == 339
+        assert c.encode_event(Event("tie", 0)) == 340
+        assert c.encode_event(Event("program", 32)) == 373
+        assert c.encode_event(Event("drum", 36)) == 505
+
+
+class TestGoldenSequences:
+    def test_simple_chart(self):
+        """C-major chord @0.5 s (piano) + kick @0.25 s, one segment."""
+        notes = [
+            Note(False, 0, 0.50, 1.00, 60, 100),
+            Note(False, 0, 0.50, 1.00, 64, 100),
+            Note(True, 128, 0.25, 0.26, 36, 100),
+        ]
+        tok = NoteEventTokenizer(EventCodec(), max_length=32)
+        ids = tok.encode_segment(
+            *_slice(notes, 0.0), 0.0).tolist()
+        # tie | shift25 vel1 drum36 | shift50 prog0 pitch60 pitch64 |
+        # shift100 vel0 pitch60 pitch64 | EOS PAD*
+        want = [340,  # tie
+               28, 339, 505,  # shift 25, velocity 1, drum 36
+               53, 341, 339, 270, 274,  # shift 50, program 0, vel 1(no-op? see below)
+               103, 338, 270, 274,  # shift 100, velocity 0, offsets
+               1]
+        # NOTE: velocity state persists from the drum onset, so no second
+        # velocity-1 event is emitted before the chord. Recompute `want`
+        # accordingly:
+        want = [340, 28, 339, 505, 53, 341, 270, 274,
+                103, 338, 270, 274, 1]
+        assert ids[: len(want)] == want, ids[: len(want)]
+        assert all(i == 0 for i in ids[len(want):])
+
+    def test_tie_section_golden(self):
+        notes = [Note(False, 24, 0.5, 3.0, 55, 100)]
+        seg = 32767 / 16000
+        tok = NoteEventTokenizer(EventCodec(), max_length=16)
+        ids = tok.encode_segment(*_slice(notes, seg), seg).tolist()
+        # program 24, pitch 55, tie, shift(3.0-2.048=0.952→95), then the
+        # stream restates program (state does NOT carry over from the tie
+        # section — defined behavior), vel 0, pitch 55, EOS
+        want = [365, 265, 340, 98, 365, 338, 265, 1]
+        assert ids[: len(want)] == want, ids
+
+
+def _slice(notes, start):
+    from yourmt3_tpu.tokens import slice_notes_to_segment
+    seg = 32767 / 16000
+    ties, evs = slice_notes_to_segment(notes, start, start + seg)
+    return evs, ties

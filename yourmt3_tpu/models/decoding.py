@@ -84,6 +84,108 @@ def jit_greedy_decode(model: YMT3, params, memory: jnp.ndarray,
     return greedy_decode(model, params, memory, max_length, prefix_ids)
 
 
+class BeamState(NamedTuple):
+    pos: jnp.ndarray  # scalar int32
+    buf: jnp.ndarray  # (S, K, L+1) decoder inputs
+    scores: jnp.ndarray  # (S, K) cumulative log-probs
+    done: jnp.ndarray  # (S, K)
+    self_kvs: Any  # caches with S·K streams
+
+
+def _reorder_cache_streams(kvs, parent: jnp.ndarray):
+    """Gather beam-parent streams in every cache tensor. `parent` is a
+    flat (S·K,) index into the stream axis. Works for dense (S*,H,L,dk)
+    and paged (NB, S*, H, dk, blk) layouts."""
+
+    def gather(x):
+        axis = 1 if x.ndim == 5 else 0
+        return jnp.take(x, parent, axis=axis)
+
+    return jax.tree_util.tree_map(gather, kvs)
+
+
+def beam_decode(
+    model: YMT3,
+    params,
+    memory: jnp.ndarray,  # (B, C, T, D)
+    max_length: int,
+    beam_size: int = 4,
+    prefix_ids: Optional[jnp.ndarray] = None,
+    eos_id: int = EOS_ID,
+    length_penalty: float = 0.6,
+) -> jnp.ndarray:
+    """Batched beam search (reference exposes greedy only; the north-star
+    asks for greedy/beam). Beams fold into the stream axis (S·K) so the
+    same decode_step/caches serve; per-step beam reorder is a stream-axis
+    gather. → (B, C, max_length) best-beam tokens."""
+    B, C = memory.shape[0], memory.shape[1]
+    S = B * C
+    K = beam_size
+    cfg = model.cfg
+    start = cfg.decoder_start_token_id
+    V = cfg.vocab_size
+    P = 0 if prefix_ids is None else int(prefix_ids.shape[0])
+
+    # expand memory per beam BEFORE cross-KV projection: (B, C, T, D) →
+    # stream-major (S·K) ordering must match cache folding (B·C major, K minor)
+    mem_flat = memory.reshape(S, *memory.shape[2:])
+    mem_beam = jnp.repeat(mem_flat, K, axis=0)  # (S·K, T, D)
+    # (S·K, 1, T, D) folds to S·K decoder streams for either decoder type
+    cross_kvs = model.apply(params, mem_beam[:, None],
+                            method=YMT3.init_cross_kv)
+    self_kvs = model.empty_self_kvs(S * K, max_length)
+
+    NEG = jnp.asarray(-1e9, jnp.float32)
+
+    def cond(st: BeamState):
+        return jnp.logical_and(st.pos < max_length, ~jnp.all(st.done))
+
+    def body(st: BeamState):
+        tok = jax.lax.dynamic_slice(st.buf, (0, 0, st.pos),
+                                    (S, K, 1)).reshape(S * K, 1)
+        logits, new_kvs = model.apply(params, tok, st.pos, st.self_kvs,
+                                      cross_kvs, method=YMT3.decode_step)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        logp = logp.reshape(S, K, V)
+        if P > 0:
+            forced = prefix_ids[jnp.minimum(st.pos, P - 1)].astype(jnp.int32)
+            onehot = jax.nn.one_hot(forced, V, dtype=jnp.float32)
+            logp = jnp.where(st.pos < P,
+                             jnp.where(onehot[None, None] > 0, 0.0, NEG), logp)
+        # finished beams: only PAD continues, score frozen
+        pad_only = jnp.full((V,), NEG).at[PAD_ID].set(0.0)
+        logp = jnp.where(st.done[:, :, None], pad_only[None, None], logp)
+        # first step: only beam 0 is alive (identical beams would tie)
+        first_mask = (jnp.arange(K) > 0)[None, :, None] * NEG
+        logp = jnp.where(st.pos == 0, logp + first_mask, logp)
+
+        cand = st.scores[:, :, None] + logp  # (S, K, V)
+        top_v, top_i = jax.lax.top_k(cand.reshape(S, K * V), K)
+        parent = top_i // V  # (S, K)
+        token = (top_i % V).astype(jnp.int32)
+
+        flat_parent = (jnp.arange(S)[:, None] * K + parent).reshape(-1)
+        kvs = _reorder_cache_streams(new_kvs, flat_parent)
+        buf = jnp.take_along_axis(st.buf, parent[:, :, None], axis=1)
+        buf = jax.lax.dynamic_update_slice(buf, token[:, :, None],
+                                           (0, 0, st.pos + 1))
+        done = jnp.take_along_axis(st.done, parent, axis=1) | (token == eos_id)
+        return BeamState(st.pos + 1, buf, top_v, done, kvs)
+
+    buf0 = jnp.full((S, K, max_length + 1), PAD_ID, jnp.int32).at[:, :, 0].set(start)
+    st = BeamState(jnp.asarray(0, jnp.int32), buf0,
+                   jnp.zeros((S, K), jnp.float32), jnp.zeros((S, K), bool),
+                   self_kvs)
+    st = jax.lax.while_loop(cond, body, st)
+
+    # pick best beam with GNMT length penalty
+    lengths = jnp.sum(st.buf[:, :, 1:] != PAD_ID, axis=-1).astype(jnp.float32)
+    denom = ((5.0 + jnp.maximum(lengths, 1.0)) / 6.0) ** length_penalty
+    best = jnp.argmax(st.scores / denom, axis=1)  # (S,)
+    out = jnp.take_along_axis(st.buf, best[:, None, None], axis=1)[:, 0, 1:]
+    return out.reshape(B, C, max_length)
+
+
 def transcribe_segments(
     model: YMT3,
     params,
