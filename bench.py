@@ -18,6 +18,8 @@ import numpy as np
 
 
 def main():
+    from yourmt3_tpu.utils.jax_setup import setup_jax
+    setup_jax()
     import functools
 
     import jax

@@ -12,6 +12,8 @@ import json
 
 
 def main(argv=None) -> None:
+    from ..utils.jax_setup import setup_jax
+    setup_jax()
     p = argparse.ArgumentParser(description="Evaluate a YMT3 checkpoint")
     p.add_argument("-ckpt", "--checkpoint", required=True)
     p.add_argument("-d", "--data-preset", default="synth_smoke")

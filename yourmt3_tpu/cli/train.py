@@ -45,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from ..utils.jax_setup import setup_jax
+    setup_jax()
     args = build_parser().parse_args(argv)
     if args.cpu:
         import jax

@@ -13,6 +13,8 @@ import os
 
 
 def main(argv=None) -> None:
+    from ..utils.jax_setup import setup_jax
+    setup_jax()
     p = argparse.ArgumentParser(description="Transcribe audio → MIDI")
     p.add_argument("inputs", nargs="*", help="audio files (wav)")
     p.add_argument("--url", default=None,

@@ -86,6 +86,12 @@ T5_TINY = ModelConfig(
     num_encoder_layers=2, num_decoder_layers=2, max_target_length=64,
 )
 
+# mid config: fast compile, enough capacity for smoke-training runs
+T5_MINI = ModelConfig(
+    name="t5_mini", d_model=256, d_kv=64, num_heads=4, d_ff=512,
+    num_encoder_layers=4, num_decoder_layers=4,
+)
+
 # YourMT3+ flagship: Perceiver-TF encoder + 13-channel T5 decoder
 PERCEIVER_TF_MC13 = ModelConfig(
     name="perceiver_tf_mc13", encoder_type="perceiver-tf", decoder_type="multi-t5",
@@ -104,8 +110,8 @@ CONFORMER_SMALL = ModelConfig(
 
 PRESETS = {
     m.name: m for m in (
-        T5_TINY, T5_SMALL, T5_BASE, PERCEIVER_TF_MC13, PERCEIVER_TF_MC13_MOE,
-        CONFORMER_SMALL,
+        T5_TINY, T5_MINI, T5_SMALL, T5_BASE, PERCEIVER_TF_MC13,
+        PERCEIVER_TF_MC13_MOE, CONFORMER_SMALL,
     )
 }
 

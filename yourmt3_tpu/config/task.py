@@ -94,6 +94,18 @@ DRUM_TASK = _register(TaskConfig(
     drum_vocab=voc.GM_DRUM_8CLASS,
 ))
 
+# Short-sequence variant of mt3_full_plus: 256-token labels. Right-sized
+# for sparse material (and ~4× faster teacher-forcing/compile); the
+# reference's 1024 cap exists for dense pro piano, not the common case.
+MT3_FULL_PLUS_256 = _register(TaskConfig(
+    name="mt3_full_plus_256",
+    program_vocab=voc.MT3_FULL,
+    drum_vocab=voc.GM_DRUM_8CLASS,
+    subtask_tokens=("transcribe_all", "transcribe_drum"),
+    default_subtask="transcribe_all",
+    max_token_length=256,
+))
+
 # Singing-voice transcription (MIR-ST500 / CMedia style, reference exc_v2
 # lineage: separate subtask tokens for melody vs accompaniment).
 SINGING_V1 = _register(TaskConfig(

@@ -31,12 +31,22 @@ def _chain_first(first, rest):
 
 
 class MetricLogger:
-    """JSONL + console logger (stands in for the reference's W&B)."""
+    """JSONL + console logger, with optional W&B mirroring (SURVEY.md §5.5:
+    the reference logs to W&B; pass use_wandb=True with wandb installed)."""
 
-    def __init__(self, log_dir: str, name: str = "train"):
+    def __init__(self, log_dir: str, name: str = "train",
+                 use_wandb: bool = False, wandb_project: str = "yourmt3_tpu"):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{name}_log.jsonl")
         self._f = open(self.path, "a")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                self._wandb = wandb
+                wandb.init(project=wandb_project, name=name, dir=log_dir)
+            except ImportError:
+                print("wandb not installed; logging to JSONL only")
 
     def log(self, step: int, metrics: Dict[str, Any], prefix: str = "") -> None:
         rec = {"step": int(step), "time": time.time()}
@@ -44,9 +54,14 @@ class MetricLogger:
             rec[f"{prefix}{k}"] = float(v) if np.isscalar(v) or hasattr(v, "item") else v
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in rec.items() if k != "step"},
+                            step=step)
 
     def close(self):
         self._f.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 def train(
