@@ -37,6 +37,7 @@ class TaskManager:
         self._prog_to_class = self.task.program_vocab.program_to_class_array()
         self._prog_to_canonical = self.task.program_vocab.program_to_canonical_array()
         self._drum_to_canonical = self.task.drum_vocab.note_to_canonical_array()
+        self._fast_detok = None  # lazy (imports jax)
 
     # ---- sizes the model needs -----------------------------------------
     @property
@@ -121,12 +122,23 @@ class TaskManager:
 
     # ---- detokenize -----------------------------------------------------
     def detokenize_song(self, segment_ids: np.ndarray,
-                        start_times: Sequence[float]
+                        start_times: Sequence[float],
+                        fast: bool = True
                         ) -> Tuple[List[Note], DecodeErrors]:
-        """(S, C, L) predicted ids → merged full-song notes."""
+        """(S, C, L) predicted ids → merged full-song notes.
+
+        fast=True uses the vectorized/on-device extraction front half
+        (tokens/fast_detok.py, property-tested equal to the Python state
+        machine); fast=False walks tokens in Python (reference semantics).
+        """
         segment_ids = np.asarray(segment_ids)
         if segment_ids.ndim == 2:
             segment_ids = segment_ids[:, None, :]
+        if fast:
+            if self._fast_detok is None:
+                from .fast_detok import FastDetokenizer
+                self._fast_detok = FastDetokenizer(self.codec)
+            return self._fast_detok.detokenize_song(segment_ids, start_times)
         S, C, _ = segment_ids.shape
         if C == 1:
             return merge_segment_token_ids_to_notes(
