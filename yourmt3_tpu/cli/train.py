@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup-steps", type=int, default=1000)
     p.add_argument("--no-spec-augment", action="store_true")
     p.add_argument("--no-stem-submix", action="store_true")
+    p.add_argument("--align-crops", action="store_true",
+                   help="crop starts on the segment grid (matches eval slicing)")
     p.add_argument("--pitch-shift", action="store_true",
                    help="±2 semitone on-device pitch augmentation")
     p.add_argument("--ckpt-dir", default=None)
@@ -71,7 +73,8 @@ def main(argv=None) -> None:
     ds = TrainDataset(preset.index_files("train"), bundle.task_manager,
                       bundle.audio_cfg, weights=preset.weights(),
                       stem_submix=not args.no_stem_submix,
-                      pitch_shift_semitones=shifts, seed=args.seed)
+                      pitch_shift_semitones=shifts,
+                      align_crops=args.align_crops, seed=args.seed)
     ckpt_dir = args.ckpt_dir or os.path.join("runs", args.exp_name)
     logger = MetricLogger(ckpt_dir, args.exp_name)
     train(bundle, ds.batches(args.batch_size),

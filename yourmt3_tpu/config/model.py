@@ -39,6 +39,11 @@ class ModelConfig:
     # relative attention (T5 style)
     rel_attn_num_buckets: int = 32
     rel_attn_max_distance: int = 128
+    # absolute position signal for the encoder: event timing is ABSOLUTE
+    # within a segment (shift tokens), which relative bias cannot resolve —
+    # MT3 uses absolute sinusoids for exactly this reason. Measured here:
+    # without it, teacher-forced shift-token accuracy stalls at 7%.
+    encoder_abs_pos: str = "sinusoidal"  # "sinusoidal" | "learned" | "none"
 
     # Perceiver-TF encoder (SURVEY.md C22)
     ptf_num_latents: int = 24  # K latents per frame block

@@ -68,6 +68,7 @@ class TrainDataset:
         weights: Optional[Sequence[float]] = None,
         stem_submix: bool = True,
         pitch_shift_semitones: Sequence[int] = (),  # e.g. (-2,-1,0,1,2)
+        align_crops: bool = False,  # crop starts on the segment grid
         seed: int = 0,
         cache_tracks: int = 8,
     ):
@@ -76,6 +77,7 @@ class TrainDataset:
         self.rng = np.random.default_rng(seed)
         self.stem_submix = stem_submix
         self.pitch_shift_semitones = tuple(pitch_shift_semitones)
+        self.align_crops = align_crops
         self.cache = _TrackCache(cache_tracks)
         self.datasets = [load_file_list(p) for p in file_lists]
         w = np.asarray(weights if weights is not None
@@ -122,8 +124,14 @@ class TrainDataset:
             crop = np.zeros(seg_len, np.float32)
             crop[: len(audio)] = audio
         else:
-            start = int(self.rng.integers(0, len(audio) - seg_len))
-            crop = np.asarray(audio[start: start + seg_len], np.float32)
+            if self.align_crops:
+                n_seg = max(1, (len(audio) - 1) // seg_len)
+                start = int(self.rng.integers(0, n_seg)) * seg_len
+            else:
+                start = int(self.rng.integers(0, len(audio) - seg_len))
+            crop = np.zeros(seg_len, np.float32)
+            avail = audio[start: start + seg_len]
+            crop[: len(avail)] = avail
         t0 = start / sr
         shift_idx = 0
         if self.pitch_shift_semitones:

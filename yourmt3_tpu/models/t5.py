@@ -79,11 +79,23 @@ class T5Encoder(nn.Module):
                        for i in range(c.num_encoder_layers)]
         self.final_norm = RMSNorm(dtype=dt, name="final_norm")
         self.drop = nn.Dropout(c.dropout_rate)
+        if c.encoder_abs_pos == "learned":
+            self.pos_embed = self.param("pos_embed",
+                                        nn.initializers.normal(0.02),
+                                        (2048, c.d_model), jnp.float32)
 
     def __call__(self, feats: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        x = self.input_proj(feats.astype(_dtype(self.cfg)))
+        c = self.cfg
+        x = self.input_proj(feats.astype(_dtype(c)))
+        T = x.shape[1]
+        if c.encoder_abs_pos == "sinusoidal":
+            from .layers import sinusoidal_positions
+            pos = jnp.asarray(sinusoidal_positions(T, c.d_model), x.dtype)
+            x = x + pos[None]
+        elif c.encoder_abs_pos == "learned":
+            x = x + self.pos_embed[:T].astype(x.dtype)[None]
         x = self.drop(x, deterministic=deterministic)
-        bias = self.rel_bias(x.shape[1], x.shape[1])
+        bias = self.rel_bias(T, T)
         for lyr in self.layers:
             x = lyr(x, bias, deterministic)
         return self.final_norm(x)
