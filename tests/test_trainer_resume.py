@@ -1,0 +1,67 @@
+"""Trainer checkpoint/resume + preemption safety (SURVEY.md §5.3/§5.4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from yourmt3_tpu.config.audio import AudioConfig
+
+TINY_AUDIO = AudioConfig(input_frames=4095, n_fft=512, hop_length=128,
+                         n_mels=64)
+
+
+def const_batches(tm, batch_size=4):
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((batch_size, TINY_AUDIO.input_frames)).astype(np.float32) * 0.1
+    labels = rng.integers(3, tm.vocab_size,
+                          (batch_size, tm.num_decoding_channels,
+                           tm.max_token_length)).astype(np.int32)
+    while True:
+        yield {"audio": audio, "labels": labels}
+
+
+class TestResume:
+    def test_checkpoint_resume_continues(self, tmp_path):
+        from yourmt3_tpu.api import init_model, load_checkpoint
+        from yourmt3_tpu.train.trainer import train
+        bundle = init_model("t5_tiny", "mt3_full_plus", audio_cfg=TINY_AUDIO)
+        it = const_batches(bundle.task_manager)
+        d = str(tmp_path / "ck")
+        bundle = train(bundle, it, total_steps=3, log_every=10, ckpt_every=3,
+                       ckpt_dir=d, spec_augment=False, warmup_steps=1)
+        assert os.path.exists(os.path.join(d, "last", "ymt3_meta.json"))
+        b2 = load_checkpoint(os.path.join(d, "last"), audio_cfg=TINY_AUDIO)
+        l0 = [np.asarray(x) for x in
+              __import__("jax").tree_util.tree_leaves(bundle.params)]
+        l1 = [np.asarray(x) for x in
+              __import__("jax").tree_util.tree_leaves(b2.params)]
+        assert all(np.allclose(a, b) for a, b in zip(l0, l1))
+
+    def test_preemption_writes_final_ckpt(self, tmp_path):
+        from yourmt3_tpu.api import init_model
+        from yourmt3_tpu.train.trainer import train
+        from yourmt3_tpu.utils.preemption import PreemptionGuard
+        bundle = init_model("t5_tiny", "mt3_full_plus", audio_cfg=TINY_AUDIO)
+        d = str(tmp_path / "ck2")
+
+        hits = []
+
+        class Probe:
+            def log(self, step, metrics, prefix=""):
+                hits.append(step)
+                if step >= 2:
+                    PreemptionGuard.instance().request()
+
+            def close(self):
+                pass
+
+        try:
+            train(bundle, const_batches(bundle.task_manager), total_steps=50,
+                  log_every=1, ckpt_every=0, ckpt_dir=d, spec_augment=False,
+                  warmup_steps=1, logger=Probe())
+        finally:
+            PreemptionGuard.instance().reset()
+        # stopped early (well before 50) and wrote the final checkpoint
+        assert max(hits) < 10
+        assert os.path.exists(os.path.join(d, "last", "ymt3_meta.json"))
