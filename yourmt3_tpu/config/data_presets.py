@@ -90,6 +90,8 @@ _reg(DataPreset("all_cross_final", (
 
 # synthetic smoke preset (tests / CI): built by data/preprocess/synth.py
 _reg(DataPreset("synth_smoke", (DatasetEntry("synth", 1.0),)))
+# larger synthetic corpus for convergence/generalization runs
+_reg(DataPreset("synth_big", (DatasetEntry("synthbig", 1.0),)))
 
 
 def get_data_preset(name: str) -> DataPreset:

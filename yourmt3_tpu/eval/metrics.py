@@ -172,6 +172,9 @@ class AMTMetrics:
         if not self._tracks:
             return {}
         fields = [f.name for f in dataclasses.fields(TrackScores)]
+        if self.eval_program_vocab is None:
+            # multi-instrument F1 was never computed; don't report zeros
+            fields = [f for f in fields if not f.startswith("multi_")]
         return {f"{name}": float(np.mean([getattr(t, name) for t in self._tracks]))
                 for name in fields}
 

@@ -89,6 +89,11 @@ class ConformerEncoder(nn.Module):
         c, dt = self.cfg, _dtype(self.cfg)
         x = nn.Dense(c.d_model, use_bias=False, dtype=dt,
                      name="input_proj")(feats.astype(dt))
+        if c.encoder_abs_pos != "none":
+            # absolute time anchor for MT3 shift tokens (see config.model)
+            from .layers import sinusoidal_positions
+            x = x + jnp.asarray(sinusoidal_positions(x.shape[1], c.d_model),
+                                dt)[None]
         bias = RelativePositionBias(
             c.num_heads, c.rel_attn_num_buckets, c.rel_attn_max_distance,
             bidirectional=True, dtype=dt, name="rel_bias")(x.shape[1], x.shape[1])
