@@ -68,3 +68,26 @@ class TestPagedKernel:
             err = float(jnp.max(jnp.abs(log_d - log_p)))
             assert err < 5e-2, (pos, err)
             tok = jnp.argmax(log_d, -1)[:, None].astype(jnp.int32)
+
+
+class TestRelTableBias:
+    @pytest.mark.parametrize("pos", [0, 127, 200])
+    def test_in_kernel_bias_matches_dense(self, pos):
+        from yourmt3_tpu.models.layers import relative_position_bucket
+        rng = np.random.default_rng(0)
+        S, H, L, dk, BLK = 4, 6, 256, 32, 128
+        BUCKETS, MAXD = 32, 128
+        q = jnp.asarray(rng.standard_normal((S, H, dk)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((L // BLK, S, H, dk, BLK)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((L // BLK, S, H, dk, BLK)), jnp.float32)
+        table = jnp.asarray(rng.standard_normal((BUCKETS, H)), jnp.float32)
+        j = jnp.arange(L)
+        buckets = relative_position_bucket(j[None, :] - pos, False,
+                                           BUCKETS, MAXD)[0]
+        bias_row = table[buckets].T
+        want = reference_decode_attention(q, k, v, pos, bias_row)
+        got = paged_decode_attention(q, k, v, jnp.asarray(pos),
+                                     rel_table=table, rel_max_distance=MAXD,
+                                     block=BLK, streams_per_tile=2,
+                                     interpret=True)
+        assert float(jnp.max(jnp.abs(want - got))) < 1e-4

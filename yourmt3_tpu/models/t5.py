@@ -130,9 +130,10 @@ class T5DecoderLayer(nn.Module):
 
     # ---- single-step decode with external caches ----------------------
     def decode_step(self, y, self_kv: KV, pos: jnp.ndarray, cross_kv: KV,
-                    step_bias: jnp.ndarray) -> Tuple[jnp.ndarray, KV]:
+                    step_bias) -> Tuple[jnp.ndarray, KV]:
         """y: (B, 1, D). self_kv: (B, H, L, dk) ring caches. pos: scalar.
-        step_bias: (1, H, 1, L) rel-bias row + causal mask for this pos."""
+        step_bias: (1, H, 1, L) rel-bias row + causal mask (dense path), or
+        ("table", (buckets, H) array) for in-kernel reconstruction."""
         h = self.norm_self(y)
         q = self.self_attn._split(self.self_attn.q(h))
         k_step = self.self_attn._split(self.self_attn.k(h))
@@ -140,13 +141,15 @@ class T5DecoderLayer(nn.Module):
         ck, cv = self_kv
         if self.cfg.use_pallas_decode:
             # paged-KV kernel path: caches are (NB, B, H, dk, block) pages —
-            # large contiguous DMA chunks; HBM reads ∝ pos+1, not L.
+            # large contiguous DMA chunks; HBM reads ∝ pos+1, not L. The
+            # rel bias is reconstructed in-kernel from the bucket table.
             from ..ops.pallas.decode_attention import (paged_cache_update,
                                                        paged_decode_attention)
             ck = paged_cache_update(ck, k_step, pos)
             cv = paged_cache_update(cv, v_step, pos)
-            att = paged_decode_attention(q, ck, cv, pos,
-                                         step_bias[0, :, 0, :])
+            att = paged_decode_attention(
+                q, ck, cv, pos, rel_table=step_bias[1],
+                rel_max_distance=self.cfg.rel_attn_max_distance)
         else:
             ck = jax.lax.dynamic_update_slice(ck, k_step, (0, 0, pos, 0))
             cv = jax.lax.dynamic_update_slice(cv, v_step, (0, 0, pos, 0))
@@ -223,8 +226,13 @@ class T5Decoder(nn.Module):
         → ((B, vocab) logits, updated self KV caches)."""
         y = self.embed(token_ids)
         skv = self_kvs[0][0]
-        L = (skv.shape[0] * skv.shape[4]) if skv.ndim == 5 else skv.shape[2]
-        bias = self.step_bias(pos, L)
+        if self.cfg.use_pallas_decode:
+            # hand the raw bucket table to the kernel (in-kernel bias)
+            bias = ("table",
+                    self.rel_bias.variables["params"]["rel_embedding"])
+        else:
+            L = (skv.shape[0] * skv.shape[4]) if skv.ndim == 5 else skv.shape[2]
+            bias = self.step_bias(pos, L)
         new_kvs: List[KV] = []
         for lyr, skv, ckv in zip(self.layers, self_kvs, cross_kvs):
             y, nkv = lyr.decode_step(y, skv, pos, ckv, bias)

@@ -37,11 +37,11 @@ NEG_INF = -1e30
 
 def _kernel(pos_ref,  # scalar prefetch: (1,) int32
             q_ref,  # (sp, H, dk) VMEM
-            bias_ref,  # (sp·H, L) VMEM — whole pre-tiled bias, sliced here
+            bias_ref,  # (sp·H, L) pre-tiled bias OR (buckets, H_pad) table
             k_ref, v_ref,  # (1, sp, H, dk, block) VMEM — this page
             out_ref,  # (sp, H, dk) VMEM
             m_ref, l_ref, acc_ref,  # persistent scratch
-            *, block: int):
+            *, block: int, rel_buckets: int = 0, rel_max_distance: int = 128):
     pos = pos_ref[0]
     b = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -64,8 +64,29 @@ def _kernel(pos_ref,  # scalar prefetch: (1,) int32
             q[:, None, :], k,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)[:, 0, :]
-        logits += bias_ref[:, pl.ds(b * block, block)]
         j = b * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
+        if rel_buckets:
+            # reconstruct the T5 rel-bias slice IN KERNEL from the bucket
+            # table (a runtime (H, L) bias operand measured 15-30× the whole
+            # kernel cost; the table is ~1 KB): bucket(d) → one-hot → MXU
+            d = jnp.maximum(pos - j[0], 0)
+            max_exact = rel_buckets // 2
+            dl = jnp.log(d.astype(jnp.float32) / max_exact + 1e-6)
+            large = max_exact + (
+                dl / np.log(rel_max_distance / max_exact)
+                * (rel_buckets - max_exact)).astype(jnp.int32)
+            bucket = jnp.where(d < max_exact, d,
+                               jnp.minimum(large, rel_buckets - 1))
+            onehot = (bucket[None, :] == jax.lax.broadcasted_iota(
+                jnp.int32, (rel_buckets, block), 0)).astype(jnp.float32)
+            table = bias_ref[:].astype(jnp.float32)  # (buckets, H_pad)
+            bias_hb = jax.lax.dot_general(
+                table, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (H_pad, block)
+            logits = (logits.reshape(sp, H, block)
+                      + bias_hb[None, :H]).reshape(G, block)
+        else:
+            logits += bias_ref[:, pl.ds(b * block, block)]
         logits = jnp.where(j <= pos, logits, NEG_INF)
 
         m = m_ref[:]
@@ -95,8 +116,16 @@ def paged_decode_attention(
     block: int = 128,
     streams_per_tile: int = 8,
     interpret: Optional[bool] = None,  # default: interpret off-TPU (tests)
+    rel_table: Optional[jnp.ndarray] = None,  # (buckets, H) T5 bias table
+    rel_max_distance: int = 128,
 ) -> jnp.ndarray:
-    """→ attention output with q's leading shape ((S, H, dk) or (S,H,1,dk))."""
+    """→ attention output with q's leading shape ((S, H, dk) or (S,H,1,dk)).
+
+    Bias options (mutually exclusive): `bias_row` (H, L) explicit additive
+    bias, or `rel_table` — the T5 relative-attention bucket table, from
+    which the bias is reconstructed IN KERNEL (preferred on TPU: a runtime
+    (H, L) operand is pathologically slow through the pallas pipeline).
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     squeeze = False
@@ -110,12 +139,26 @@ def paged_decode_attention(
     sp = min(streams_per_tile, S)
     while S % sp:
         sp -= 1
+    rel_buckets = 0
+    if rel_table is not None:
+        rel_buckets = rel_table.shape[0]
+        H_pad = -(-H // 8) * 8
+        if rel_table.shape[1] != H_pad:
+            rel_table = jnp.pad(rel_table, ((0, 0), (0, H_pad - rel_table.shape[1])))
     if bias_row is None:
         bias_row = jnp.zeros((H, L), jnp.float32)
-    # pre-tile the bias over the stream tile OUTSIDE the kernel: an
-    # in-kernel jnp.tile of a sublane-misaligned (6, block) slice lowered
-    # to Mosaic slow-path copies costing ~20× the whole kernel (measured)
-    bias_tiled = jnp.tile(bias_row.astype(jnp.float32), (sp, 1))  # (sp·H, L)
+    if rel_buckets:
+        bias_in = rel_table.astype(jnp.float32)  # (buckets, H_pad), ~1 KB
+        bias_spec = pl.BlockSpec((rel_buckets, bias_in.shape[1]),
+                                 lambda i, b, p: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        # pre-tile the bias over the stream tile OUTSIDE the kernel: an
+        # in-kernel jnp.tile of a sublane-misaligned (6, block) slice
+        # lowers to Mosaic slow-path copies (~20× kernel cost, measured)
+        bias_in = jnp.tile(bias_row.astype(jnp.float32), (sp, 1))  # (sp·H, L)
+        bias_spec = pl.BlockSpec((sp * H, L), lambda i, b, p: (0, 0),
+                                 memory_space=pltpu.VMEM)
 
     def page_idx(i, b, pos_ref):
         # clamp beyond-live pages to the last live page: pallas skips the
@@ -128,10 +171,7 @@ def paged_decode_attention(
         in_specs=[
             pl.BlockSpec((sp, H, dk), lambda i, b, p: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            # whole bias with a CONSTANT index map: fetched once, not per
-            # page — a per-page bias fetch measured 15-30× kernel cost
-            pl.BlockSpec((sp * H, L), lambda i, b, p: (0, 0),
-                         memory_space=pltpu.VMEM),
+            bias_spec,
             pl.BlockSpec((1, sp, H, dk, block),
                          lambda i, b, p: (page_idx(i, b, p), i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -148,11 +188,12 @@ def paged_decode_attention(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, block=block),
+        functools.partial(_kernel, block=block, rel_buckets=rel_buckets,
+                          rel_max_distance=rel_max_distance),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, H, dk), q.dtype),
         interpret=interpret,
-    )(jnp.asarray([pos], jnp.int32).reshape(1), q, bias_tiled,
+    )(jnp.asarray([pos], jnp.int32).reshape(1), q, bias_in,
       k_cache, v_cache)
     return out[:, :, None, :] if squeeze else out
 
