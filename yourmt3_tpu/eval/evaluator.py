@@ -11,9 +11,7 @@ one compiled program; the host only runs the final stateful merge.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
-
-import numpy as np
+from typing import Dict, Optional
 
 from ..api import ModelBundle, transcribe_audio_array
 from ..config.vocabulary import (DRUM_VOCABULARIES, PROGRAM_VOCABULARIES,

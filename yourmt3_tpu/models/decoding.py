@@ -15,12 +15,11 @@ in Python per step; here a whole segment decodes in one device program).
 from __future__ import annotations
 
 import functools
-from typing import Any, List, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..config.model import ModelConfig
 from ..tokens.codec import EOS_ID, PAD_ID
 from .ymt3 import YMT3
 

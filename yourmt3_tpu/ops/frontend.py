@@ -18,8 +18,6 @@ implementation and the fallback.
 from __future__ import annotations
 
 import dataclasses
-import functools
-import math
 from typing import Optional
 
 import jax

@@ -21,11 +21,9 @@ HBM traffic: audio row + basis/mel blocks + (T,M) output only — the
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

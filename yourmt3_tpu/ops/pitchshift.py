@@ -18,10 +18,8 @@ data/dataset_train.py pitch_shift plumbing).
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .codec import EventCodec
 from .dataclasses import Note
-from .event2note import DRUM_OFFSET_TIME, DecodeErrors, NoteDecodingState
+from .event2note import DRUM_OFFSET_TIME, DecodeErrors
 
 
 def _forward_fill(is_set: jnp.ndarray, values: jnp.ndarray,

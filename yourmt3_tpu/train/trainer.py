@@ -22,7 +22,7 @@ from ..ops.specaugment import SpecAugmentConfig, make_augment_fn
 from ..parallel.mesh import make_mesh, replicate, shard_batch
 from .checkpoint import save_bundle
 from .optim import make_optimizer
-from .train_step import TrainState, create_train_state, make_train_step
+from .train_step import create_train_state, make_train_step
 
 
 def _chain_first(first, rest):
