@@ -29,6 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--schedule", default="cosine",
                    choices=["cosine", "legacy", "constant"])
     p.add_argument("--warmup-steps", type=int, default=1000)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="gradient accumulation micro-steps")
     p.add_argument("--no-spec-augment", action="store_true")
     p.add_argument("--no-stem-submix", action="store_true")
     p.add_argument("--align-crops", action="store_true",
@@ -82,6 +84,7 @@ def main(argv=None) -> None:
           ckpt_every=args.ckpt_every, ckpt_dir=ckpt_dir,
           optimizer=args.optimizer, base_lr=args.learning_rate,
           schedule=args.schedule, warmup_steps=args.warmup_steps,
+          grad_accum_steps=args.grad_accum,
           spec_augment=not args.no_spec_augment,
           pitch_shift_semitones=shifts or None,
           n_data_shards=args.n_data_shards, seed=args.seed, logger=logger)

@@ -37,7 +37,10 @@ def make_schedule(name: str, base_lr: float, warmup_steps: int = 1000,
 def make_optimizer(name: str = "adamw", base_lr: float = 1e-3,
                    schedule: str = "cosine", warmup_steps: int = 1000,
                    total_steps: int = 100_000, weight_decay: float = 0.0,
-                   grad_clip: Optional[float] = 1.0) -> optax.GradientTransformation:
+                   grad_clip: Optional[float] = 1.0,
+                   grad_accum_steps: int = 1) -> optax.GradientTransformation:
+    """grad_accum_steps > 1 wraps the optimizer in optax.MultiSteps
+    (reference shared_cfg gradient-accumulation knob, SURVEY.md C1)."""
     sched = make_schedule(schedule, base_lr, warmup_steps, total_steps)
     if name == "adamw":
         core = optax.adamw(sched, weight_decay=weight_decay)
@@ -49,5 +52,7 @@ def make_optimizer(name: str = "adamw", base_lr: float = 1e-3,
     else:
         raise ValueError(f"unknown optimizer {name!r}")
     if grad_clip:
-        return optax.chain(optax.clip_by_global_norm(grad_clip), core)
+        core = optax.chain(optax.clip_by_global_norm(grad_clip), core)
+    if grad_accum_steps > 1:
+        core = optax.MultiSteps(core, every_k_schedule=grad_accum_steps)
     return core

@@ -75,6 +75,7 @@ def train(
     base_lr: float = 1e-3,
     schedule: str = "cosine",
     warmup_steps: int = 100,
+    grad_accum_steps: int = 1,
     spec_augment: bool = True,
     pitch_shift_semitones=None,  # must match the dataset's setting
     n_data_shards: Optional[int] = None,
@@ -86,7 +87,8 @@ def train(
     """Run the loop; returns bundle with trained params."""
     import math
 
-    tx = make_optimizer(optimizer, base_lr, schedule, warmup_steps, total_steps)
+    tx = make_optimizer(optimizer, base_lr, schedule, warmup_steps, total_steps,
+                        grad_accum_steps=grad_accum_steps)
     aug = make_augment_fn(SpecAugmentConfig()) if spec_augment else None
     step_fn = make_train_step(bundle.model, bundle.frontend, tx, augment_fn=aug,
                               pitch_shift_semitones=pitch_shift_semitones)
