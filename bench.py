@@ -30,7 +30,7 @@ def main():
 
     model_preset = "t5_small"
     task = "mt3_full_plus"
-    batch = 32
+    batch = 16  # sweet spot measured: 49.9 au-s/s vs 46.1 at B=32 (KV traffic)
     max_length = 1024
     pallas_decode = None  # auto: kernel wins for long-L few-stream decode
     for a in sys.argv[1:]:

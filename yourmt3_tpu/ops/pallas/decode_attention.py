@@ -68,23 +68,28 @@ def _kernel(pos_ref,  # scalar prefetch: (1,) int32
         if rel_buckets:
             # reconstruct the T5 rel-bias slice IN KERNEL from the bucket
             # table (a runtime (H, L) bias operand measured 15-30× the whole
-            # kernel cost; the table is ~1 KB): bucket(d) → one-hot → MXU
-            d = jnp.maximum(pos - j[0], 0)
+            # kernel cost; the table is ~1 KB): bucket(d) → one-hot → MXU.
+            # NOTE: only lax.slice/reshape here — numpy-style mixed
+            # indexing lowers to gathers Mosaic rejects.
+            d = jnp.maximum(pos - j, 0)  # (1, block)
             max_exact = rel_buckets // 2
             dl = jnp.log(d.astype(jnp.float32) / max_exact + 1e-6)
             large = max_exact + (
                 dl / np.log(rel_max_distance / max_exact)
                 * (rel_buckets - max_exact)).astype(jnp.int32)
             bucket = jnp.where(d < max_exact, d,
-                               jnp.minimum(large, rel_buckets - 1))
-            onehot = (bucket[None, :] == jax.lax.broadcasted_iota(
-                jnp.int32, (rel_buckets, block), 0)).astype(jnp.float32)
+                               jnp.minimum(large, rel_buckets - 1))  # (1, blk)
+            onehot = (jnp.broadcast_to(bucket, (rel_buckets, block))
+                      == jax.lax.broadcasted_iota(
+                          jnp.int32, (rel_buckets, block), 0)
+                      ).astype(jnp.float32)
             table = bias_ref[:].astype(jnp.float32)  # (buckets, H_pad)
             bias_hb = jax.lax.dot_general(
                 table, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)  # (H_pad, block)
+            bias_h = jax.lax.slice(bias_hb, (0, 0), (H, block))
             logits = (logits.reshape(sp, H, block)
-                      + bias_hb[None, :H]).reshape(G, block)
+                      + jnp.expand_dims(bias_h, 0)).reshape(G, block)
         else:
             logits += bias_ref[:, pl.ds(b * block, block)]
         logits = jnp.where(j <= pos, logits, NEG_INF)
