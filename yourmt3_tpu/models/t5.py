@@ -147,9 +147,13 @@ class T5DecoderLayer(nn.Module):
                                                        paged_decode_attention)
             ck = paged_cache_update(ck, k_step, pos)
             cv = paged_cache_update(cv, v_step, pos)
+            # single-page caches (short decode): bigger stream tiles
+            # amortize per-program overhead; multi-page keeps sp=8
+            sp = 16 if ck.shape[0] == 1 else 8
             att = paged_decode_attention(
                 q, ck, cv, pos, rel_table=step_bias[1],
-                rel_max_distance=self.cfg.rel_attn_max_distance)
+                rel_max_distance=self.cfg.rel_attn_max_distance,
+                block=ck.shape[4], streams_per_tile=sp)
         else:
             ck = jax.lax.dynamic_update_slice(ck, k_step, (0, 0, pos, 0))
             cv = jax.lax.dynamic_update_slice(cv, v_step, (0, 0, pos, 0))

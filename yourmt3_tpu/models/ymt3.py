@@ -80,9 +80,13 @@ class YMT3(nn.Module):
         dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
         if c.use_pallas_decode:
             # paged layout (NB, S, H, dk, block): contiguous per-page DMA,
-            # see ops/pallas/decode_attention.py
+            # see ops/pallas/decode_attention.py. Larger pages amortize
+            # per-program overhead when the decode is short (mc13: L=256
+            # fits one page).
             from ..ops.pallas.decode_attention import empty_paged_cache
-            block = 128
+            # 128-pages give the finest dead-page skip (measured best at
+            # L=1024); a single 256-page only when the whole decode fits it
+            block = 256 if max_len <= 256 else 128
             padded = -(-max_len // block) * block
             return [(empty_paged_cache(batch_streams, c.num_heads, c.d_kv,
                                        padded, block, dt),
