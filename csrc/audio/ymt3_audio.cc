@@ -48,14 +48,22 @@ bool parse_wav(const uint8_t* buf, size_t len, WavData* out) {
       n_ch = rd_u16(body + 2);
       sr = rd_u32(body + 4);
       bits = rd_u16(body + 14);
-      if (fmt_code == 0xFFFE) fmt_code = 1;  // extensible → assume PCM
+      if (fmt_code == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: the real code is the first 2 bytes of
+        // the SubFormat GUID at fmt offset 24 (PCM=1, IEEE float=3);
+        // assuming PCM would decode float WAVs as garbage.
+        if (csz >= 26)
+          fmt_code = rd_u16(body + 24);
+        else
+          return false;  // truncated extensible fmt → Python fallback
+      }
     } else if (!memcmp(cid, "data", 4)) {
       data = body;
       data_len = csz;
     }
     pos += 8 + csz + (csz & 1);
   }
-  if (!data || !n_ch || !sr) return false;
+  if (!data || !n_ch || !sr || !bits || (bits & 7)) return false;
 
   size_t bytes_per = bits / 8;
   size_t n_frames = data_len / (bytes_per * n_ch);

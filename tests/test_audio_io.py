@@ -34,6 +34,31 @@ class TestWav:
         freq = 0.5 * zc / ((len(y) - 1000) / 16000)
         assert abs(freq - 440) < 6
 
+    def test_extensible_float_wav(self, tmp_path):
+        """ADVICE r1: WAVE_FORMAT_EXTENSIBLE carrying the IEEE-float
+        SubFormat GUID must decode as float, not as int PCM garbage —
+        in the Python parser AND the native fast path."""
+        import struct
+        x = sine(16000, 0.25, 440)
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 16000 * 4, 4, 32)
+        # cbSize=22, validBits=32, channelMask=0, SubFormat GUID (float=3)
+        guid = struct.pack("<H", 3) + bytes.fromhex(
+            "0000000000001000800000aa00389b71")
+        fmt += struct.pack("<HHI", 22, 32, 0) + guid
+        data = x.astype("<f4").tobytes()
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        p = tmp_path / "ext.wav"
+        p.write_bytes(blob)
+        y, sr = read_wav(str(p))
+        assert sr == 16000
+        assert np.max(np.abs(y[0] - x)) < 1e-6
+        lib = _load_native()
+        if lib:
+            y_nat, _ = load_audio_file(str(p), 16000)
+            assert np.max(np.abs(y_nat - x)) < 1e-6
+
     def test_native_matches_python(self, tmp_path):
         lib = _load_native()
         if not lib:

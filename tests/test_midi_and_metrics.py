@@ -33,6 +33,38 @@ class TestMidiIO:
                 assert abs(r.offset - e.offset) < 0.01
                 assert abs(r.velocity - e.velocity) <= 1
 
+    def test_many_programs_channel_sharing(self, tmp_path):
+        """ADVICE r1: with >15 melodic programs two tracks share a channel;
+        the program change must be re-emitted before each note-on on shared
+        channels so merged-stream players hear the right instrument."""
+        notes = [Note(False, p, 0.1 * i, 0.1 * i + 0.5, 60 + (i % 12), 90)
+                 for i, p in enumerate(range(0, 40, 2))]  # 20 programs
+        p = str(tmp_path / "many.mid")
+        note_event2midi(notes, p)
+        back = midi2note(p)
+        assert sorted(n.program for n in back) == sorted(n.program for n in notes)
+        # simulate a merged single-stream player: walk ALL events in tick
+        # order, track global per-channel program state, check each note-on
+        # sounds with its intended program
+        from yourmt3_tpu.tokens.midi_io import parse_midi_file, _TickClock, _tempo_map
+        division, tracks = parse_midi_file(p)
+        merged = sorted((e for tr in tracks for e in tr),
+                        key=lambda e: e.tick)
+        intended = {(round(n.onset, 6), n.pitch): n.program for n in notes}
+        prog_state = {}
+        clock = _TickClock(division, _tempo_map(tracks))
+        for e in merged:
+            if e.status == 0xFF:
+                continue
+            kind, ch = e.status & 0xF0, e.status & 0x0F
+            if kind == 0xC0:
+                prog_state[ch] = e.data[0]
+            elif kind == 0x90 and e.data[1] > 0:
+                t = round(clock.seconds(e.tick), 6)
+                want = intended.get((t, e.data[0]))
+                if want is not None:
+                    assert prog_state.get(ch) == want, (t, e.data[0])
+
     def test_sustain_pedal_extension(self, tmp_path):
         # hand-build a track: CC64 down, note on/off, CC64 up later
         import struct
@@ -106,3 +138,21 @@ class TestMetrics:
         out = m.compute()
         assert out["onset_f1"] == 0.5
         assert m.num_tracks == 2
+
+    def test_macro_average_skips_undefined_tracks(self):
+        """ADVICE r1: a metric undefined on a track (no drums anywhere, or
+        no pitched notes anywhere) must not deflate the macro average."""
+        m = AMTMetrics(GM_INSTR_CLASS, GM_DRUM_8CLASS)
+        piano = [Note(False, 0, 0.5, 1.0, 60, 90)]
+        drums = [Note(True, 128, 0.25, 0.26, 36, 100)]
+        s1 = m.update(piano, piano)   # no drums: drum_f1 undefined
+        s2 = m.update(drums, drums)   # no pitched: onset/offset undefined
+        assert s1.drum_f1 is None and s1.onset_f1 == 1.0
+        assert s2.onset_f1 is None and s2.drum_f1 == 1.0
+        out = m.compute()
+        assert out["onset_f1"] == 1.0   # averaged over 1 track, not 2
+        assert out["drum_f1"] == 1.0
+        # metric defined on zero tracks is omitted entirely
+        m2 = AMTMetrics(None, None)
+        m2.update(piano, piano)
+        assert "multi_f1" not in m2.compute()

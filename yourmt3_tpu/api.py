@@ -69,9 +69,10 @@ def init_model(model_preset: str = "t5_small", task: str = "mt3_full_plus",
 
 def load_checkpoint(path: str, model_preset: Optional[str] = None,
                     task: Optional[str] = None,
-                    audio_cfg: AudioConfig = DEFAULT_AUDIO) -> ModelBundle:
+                    audio_cfg: Optional[AudioConfig] = None) -> ModelBundle:
     """Restore a bundle from an Orbax checkpoint directory written by
-    yourmt3_tpu.train.checkpoint (metadata carries preset/task names)."""
+    yourmt3_tpu.train.checkpoint (metadata carries preset/task names and
+    the FULL audio config; explicit args override the metadata)."""
     from .train.checkpoint import restore_bundle
     return restore_bundle(path, model_preset=model_preset, task=task,
                           audio_cfg=audio_cfg)

@@ -61,6 +61,7 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         raise ValueError(f"{path}: not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = b""
     data = None
     while pos + 8 <= len(blob):
         cid = blob[pos:pos + 4]
@@ -68,14 +69,22 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         body = blob[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
     audio_format, n_ch, sr, _br, _ba, bits = fmt
-    if audio_format == 0xFFFE and len(data) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1  # assume PCM subformat (common case)
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # the real format code is the first 2 bytes of the SubFormat GUID
+        # (fmt body offset 24); assuming PCM decodes float WAVs as garbage
+        if len(fmt_body) >= 26:
+            audio_format = struct.unpack("<H", fmt_body[24:26])[0]
+        else:
+            raise ValueError(f"{path}: extensible WAV with truncated fmt chunk")
+    if n_ch == 0:
+        raise ValueError(f"{path}: zero channels in fmt chunk")
     if audio_format == 3:  # IEEE float
         x = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8")
         x = x.astype(np.float32)

@@ -45,9 +45,10 @@ def evaluate_file_dataset(
         ref = bundle.task_manager.remap_notes(ref_notes)
         s = metrics.update(ref, est_notes)
         if verbose:
-            print(f"  {track_id}: onset_f1={s.onset_f1:.4f} "
-                  f"offset_f1={s.offset_f1:.4f} multi_f1={s.multi_f1:.4f} "
-                  f"drum_f1={s.drum_f1:.4f}")
+            fmt = lambda v: "n/a" if v is None else f"{v:.4f}"
+            print(f"  {track_id}: onset_f1={fmt(s.onset_f1)} "
+                  f"offset_f1={fmt(s.offset_f1)} multi_f1={fmt(s.multi_f1)} "
+                  f"drum_f1={fmt(s.drum_f1)}")
     out = metrics.compute()
     out["decode_errors"] = float(total_err)
     out["num_tracks"] = float(metrics.num_tracks)

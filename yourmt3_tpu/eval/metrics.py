@@ -76,14 +76,19 @@ def _tuples(notes: Sequence[Note], key_fn) -> List[Tuple[float, float, int]]:
 
 @dataclasses.dataclass
 class TrackScores:
-    onset_f1: float = 0.0
-    offset_f1: float = 0.0  # onset+offset
-    multi_f1: float = 0.0
-    drum_f1: float = 0.0
-    onset_precision: float = 0.0
-    onset_recall: float = 0.0
-    multi_precision: float = 0.0
-    multi_recall: float = 0.0
+    """Per-track scores. `None` means "not evaluated on this track" (e.g.
+    drum_f1 on a track with no drums anywhere) — macro averaging skips it,
+    matching the reference's per-metric MeanMetric accumulators which are
+    only updated when the metric is computed."""
+
+    onset_f1: Optional[float] = None
+    offset_f1: Optional[float] = None  # onset+offset
+    multi_f1: Optional[float] = None
+    drum_f1: Optional[float] = None
+    onset_precision: Optional[float] = None
+    onset_recall: Optional[float] = None
+    multi_precision: Optional[float] = None
+    multi_recall: Optional[float] = None
 
 
 def evaluate_track(
@@ -107,14 +112,16 @@ def evaluate_track(
     ref_d = [n for n in ref_notes if n.is_drum]
     est_d = [n for n in est_notes if n.is_drum]
 
-    # instrument-agnostic pitched
+    # instrument-agnostic pitched (undefined when the track has no pitched
+    # content in either ref or est — a pure-drum track)
     rt = _tuples(ref_p, lambda n: n.pitch)
     et = _tuples(est_p, lambda n: n.pitch)
-    m = _match_count(rt, et, onset_tolerance, with_offset=False)
-    s.onset_precision, s.onset_recall, s.onset_f1 = precision_recall_f1(
-        m, len(rt), len(et))
-    m = _match_count(rt, et, onset_tolerance, with_offset=True)
-    _, _, s.offset_f1 = precision_recall_f1(m, len(rt), len(et))
+    if rt or et:
+        m = _match_count(rt, et, onset_tolerance, with_offset=False)
+        s.onset_precision, s.onset_recall, s.onset_f1 = precision_recall_f1(
+            m, len(rt), len(et))
+        m = _match_count(rt, et, onset_tolerance, with_offset=True)
+        _, _, s.offset_f1 = precision_recall_f1(m, len(rt), len(et))
 
     # multi-instrument (flat micro matching with class-qualified pitch)
     if eval_program_vocab is not None:
@@ -131,9 +138,10 @@ def evaluate_track(
         est_all = [n for n in est_notes]
         rt = _tuples(ref_all, mkey)
         et = _tuples(est_all, mkey)
-        m = _match_count(rt, et, onset_tolerance, with_offset=False)
-        s.multi_precision, s.multi_recall, s.multi_f1 = precision_recall_f1(
-            m, len(rt), len(et))
+        if rt or et:
+            m = _match_count(rt, et, onset_tolerance, with_offset=False)
+            s.multi_precision, s.multi_recall, s.multi_f1 = precision_recall_f1(
+                m, len(rt), len(et))
 
     # drums
     if ref_d or est_d:
@@ -169,14 +177,18 @@ class AMTMetrics:
         return s
 
     def compute(self) -> Dict[str, float]:
+        """Macro-average each metric over the tracks where it was actually
+        evaluated (None = undefined on that track, e.g. drum_f1 with no
+        drums anywhere); metrics defined on zero tracks are omitted."""
         if not self._tracks:
             return {}
-        fields = [f.name for f in dataclasses.fields(TrackScores)]
-        if self.eval_program_vocab is None:
-            # multi-instrument F1 was never computed; don't report zeros
-            fields = [f for f in fields if not f.startswith("multi_")]
-        return {f"{name}": float(np.mean([getattr(t, name) for t in self._tracks]))
-                for name in fields}
+        out: Dict[str, float] = {}
+        for f in dataclasses.fields(TrackScores):
+            vals = [getattr(t, f.name) for t in self._tracks]
+            vals = [v for v in vals if v is not None]
+            if vals:
+                out[f.name] = float(np.mean(vals))
+        return out
 
     @property
     def num_tracks(self) -> int:

@@ -69,8 +69,14 @@ def _extract(ids: jnp.ndarray, id_to_type: jnp.ndarray,
     in_stream = (idx > tie_pos) & live  # after the tie marker
 
     # time: running max of shift values within the stream
-    shift_val = jnp.where((t == T_SHIFT) & in_stream, v, -1)
+    is_shift = (t == T_SHIFT) & in_stream
+    shift_val = jnp.where(is_shift, v, -1)
     tick = jax.lax.cummax(shift_val, axis=shift_val.ndim - 1)  # -1 until first shift
+    # a shift strictly below the running max is nonmonotonic (the slow path
+    # counts and skips it; cummax already gives the skip semantics)
+    prev_tick = jnp.concatenate(
+        [jnp.full_like(tick[:, :1], -1), tick[:, :-1]], axis=-1)
+    nonmono = is_shift & (v < prev_tick)
 
     program = _forward_fill((t == T_PROG) & in_stream, v, 0)
     vel = _forward_fill((t == T_VEL) & in_stream, v, 1)
@@ -84,7 +90,7 @@ def _extract(ids: jnp.ndarray, id_to_type: jnp.ndarray,
         "tick": tick, "program": program, "velocity": vel,
         "is_pitch": is_pitch, "is_drum_hit": is_drum, "value": v,
         "tie_program": tie_prog, "is_tie_pitch": is_tie_pitch,
-        "nonmono": jnp.zeros_like(tick, bool),  # cummax absorbs; count host-side
+        "nonmono": nonmono,
         "raw_type": t,
     }
 
@@ -134,7 +140,9 @@ class FastDetokenizer:
                 ties = [(int(p), int(v)) for p, v in zip(
                     ex["tie_program"][r][ex["is_tie_pitch"][r]],
                     ex["value"][r][ex["is_tie_pitch"][r]])]
-                events = _segment_event_rows(ex, r, t0, sps)
+                events, n_dropped = _segment_event_rows(ex, r, t0, sps)
+                errors.dropped_events += n_dropped
+                errors.nonmonotonic_shifts += int(ex["nonmono"][r].sum())
                 state.process(ties, events, t0)
             notes, err = state.finish()
             all_notes.extend(notes)
@@ -144,20 +152,27 @@ class FastDetokenizer:
 
 
 def _segment_event_rows(ex, r: int, t0: float, steps_per_second: int):
-    """→ structured rows (time, kind, program, pitch, velocity) for the
-    pitch/drum events of row r. kind: 0 offset, 1 onset, 2 drum."""
+    """→ (rows, n_dropped_drums): structured rows (time, kind, program,
+    pitch, velocity) for the pitch/drum events of row r. kind: 0 offset,
+    1 onset, 2 drum. Drum tokens seen while the forward-filled velocity
+    state is 0 are DROPPED (and counted), matching the slow state machine
+    (event2note.py drum branch, ADVICE r1)."""
     sel = ex["is_pitch"][r] | ex["is_drum_hit"][r]
+    vel_all = ex["velocity"][r]
+    dead_drum = ex["is_drum_hit"][r] & (vel_all <= 0)
+    n_dropped = int(dead_drum.sum())
+    sel = sel & ~dead_drum
     if not sel.any():
-        return []
+        return [], n_dropped
     tick = ex["tick"][r][sel]
     prog = ex["program"][r][sel]
-    vel = ex["velocity"][r][sel]
+    vel = vel_all[sel]
     val = ex["value"][r][sel]
     drum = ex["is_drum_hit"][r][sel]
     time = t0 + np.maximum(tick, 0) / steps_per_second
     kind = np.where(drum, 2, (vel > 0).astype(np.int64))
     return list(zip(time.tolist(), kind.tolist(), prog.tolist(),
-                    val.tolist(), vel.tolist()))
+                    val.tolist(), vel.tolist())), n_dropped
 
 
 class _FastMergeState:
@@ -181,10 +196,10 @@ class _FastMergeState:
                 self.err.tie_without_active_note += 1
                 self.active[key] = (t0, 100)
         for time, kind, prog, pitch, vel in events:
-            if kind == 2:  # drum
+            if kind == 2:  # drum (vel > 0 guaranteed: dead drums dropped)
                 self.notes.append(Note(True, 128, time,
                                        time + DRUM_OFFSET_TIME, pitch,
-                                       self.codec.bin_to_velocity(max(vel, 1))))
+                                       self.codec.bin_to_velocity(vel)))
             elif kind == 1:  # onset
                 key = (prog, pitch)
                 if key in self.active:

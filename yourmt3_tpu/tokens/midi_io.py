@@ -269,22 +269,37 @@ def note_event2midi(notes: Sequence[Note], path: str, tpqn: int = 480,
     chunks.append(b"MTrk" + struct.pack(">I", len(t0)) + t0)
 
     melodic_channels = [c for c in range(16) if c != DRUM_CHANNEL]
-    ch_i = 0
+    # channel assignment: with > 15 melodic programs two programs share a
+    # channel; channel state is GLOBAL across format-1 tracks, so a single
+    # tick-0 program change per track would make shared channels play the
+    # last-written program. On shared channels, re-emit the program change
+    # before every note-on instead (ADVICE r1; MT3_FULL yields up to 37
+    # canonical programs).
+    melodic_progs = [p for p in sorted(groups) if p != DRUM_PROGRAM]
+    chan_of = {p: melodic_channels[i % len(melodic_channels)]
+               for i, p in enumerate(melodic_progs)}
+    chan_users: Dict[int, int] = {}
+    for p, c in chan_of.items():
+        chan_users[c] = chan_users.get(c, 0) + 1
+
     for prog in sorted(groups):
         if prog == DRUM_PROGRAM:
             ch = DRUM_CHANNEL
+            shared = False
         else:
-            ch = melodic_channels[ch_i % len(melodic_channels)]
-            ch_i += 1
+            ch = chan_of[prog]
+            shared = chan_users[ch] > 1
         evs: List[Tuple[int, int, bytes]] = []  # (tick, order, msg)
-        if prog != DRUM_PROGRAM:
+        if prog != DRUM_PROGRAM and not shared:
             evs.append((0, 0, bytes([0xC0 | ch, prog & 0x7F])))
         for n in groups[prog]:
             on, off = to_tick(n.onset), to_tick(n.offset)
             if off <= on:
                 off = on + 1
             vel = min(max(int(n.velocity), 1), 127)
-            evs.append((on, 2, bytes([0x90 | ch, n.pitch & 0x7F, vel])))
+            if shared:  # restore this program right before the note-on
+                evs.append((on, 2, bytes([0xC0 | ch, prog & 0x7F])))
+            evs.append((on, 3, bytes([0x90 | ch, n.pitch & 0x7F, vel])))
             evs.append((off, 1, bytes([0x80 | ch, n.pitch & 0x7F, 0])))
         evs.sort(key=lambda x: (x[0], x[1]))
         body = b""

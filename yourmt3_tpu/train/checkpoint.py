@@ -30,18 +30,14 @@ def save_bundle(path: str, bundle, step: int = 0,
     if opt_state is not None:
         ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
     ckptr.wait_until_finished()
+    import dataclasses
     meta = {
         "model_preset": bundle.cfg.name,
         "task": bundle.task_manager.task.name,
         "step": int(step),
-        "audio": {
-            "codec": bundle.audio_cfg.codec,
-            "sample_rate": bundle.audio_cfg.sample_rate,
-            "input_frames": bundle.audio_cfg.input_frames,
-            "n_fft": bundle.audio_cfg.n_fft,
-            "hop_length": bundle.audio_cfg.hop_length,
-            "n_mels": bundle.audio_cfg.n_mels,
-        },
+        # FULL audio config: a non-default frontend (f_min/f_max/power/
+        # log_offset/mel options...) must restore exactly (ADVICE r1)
+        "audio": dataclasses.asdict(bundle.audio_cfg),
     }
     with open(os.path.join(path, META_NAME), "w") as f:
         json.dump(meta, f, indent=2)
