@@ -9,10 +9,12 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
-from yourmt3_tpu.config.model import T5_TINY
+from yourmt3_tpu.config.model import T5_TINY, get_model_config
 from yourmt3_tpu.models.ymt3 import YMT3
-from yourmt3_tpu.train.import_torch import (apply_to_params, import_checkpoint,
-                                            map_state_dict)
+from yourmt3_tpu.train.import_torch import (apply_to_params, flatten_params,
+                                            import_checkpoint,
+                                            import_state_dict, map_state_dict,
+                                            reference_style_state_dict)
 
 
 def make_fake_ckpt(path, cfg):
@@ -65,6 +67,61 @@ class TestImporter:
         # unknown key reported as unmatched, not applied
         mapped, unmatched = map_state_dict({k: v.numpy() for k, v in sd.items()})
         assert any("some_unknown" in u for u in unmatched)
+
+    def _full_import_roundtrip(self, preset, **overrides):
+        """Shape-complete synthetic reference ckpt → EVERY param applied,
+        zero unmatched source keys (VERDICT r1 item 3). Values must round-
+        trip exactly through the name mapping + layout transforms."""
+        cfg = get_model_config(preset).replace(vocab_size=418, **overrides)
+        model = YMT3(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 64)),
+                            jnp.zeros((1, cfg.num_channels, 8), jnp.int32))
+        # randomize so equality checks are meaningful
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        rng = np.random.default_rng(1)
+        leaves = [jnp.asarray(rng.standard_normal(l.shape), l.dtype)
+                  for l in leaves]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+        sd = reference_style_state_dict(params)  # raises if any param uncovered
+        # per-expert torch naming also stacks correctly: explode experts_wi
+        exploded = {}
+        for k, v in sd.items():
+            if k.endswith(".experts_wi") or k.endswith(".experts_wo"):
+                which = k[-2:]
+                base = k[: -len(".experts_" + which)]
+                for e in range(v.shape[0]):
+                    exploded[f"{base}.experts.{e}.{which}.weight"] = v[e].T
+            else:
+                exploded[k] = v
+        zeroed = jax.tree_util.tree_map(jnp.zeros_like, params)
+        new_params = import_state_dict(exploded, zeroed, verbose=False,
+                                       require_complete=True)
+        got = flatten_params(new_params)
+        want = flatten_params(params)
+        assert set(got) == set(want)
+        for path in want:
+            assert np.allclose(got[path], want[path]), path
+
+    def test_flagship_import_complete(self):
+        self._full_import_roundtrip("perceiver_tf_mc13")
+
+    def test_flagship_moe_import_complete(self):
+        self._full_import_roundtrip("perceiver_tf_mc13_moe")
+
+    def test_conformer_import_complete(self):
+        self._full_import_roundtrip("conformer_small", num_encoder_layers=2,
+                                    num_decoder_layers=2)
+
+    def test_incomplete_import_raises(self):
+        cfg = T5_TINY.replace(vocab_size=418)
+        model = YMT3(cfg)
+        params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 24)),
+                            jnp.zeros((1, 1, 8), jnp.int32))
+        sd = reference_style_state_dict(params)
+        sd.pop(sorted(sd)[0])  # drop one tensor → must fail loudly
+        with pytest.raises(ValueError, match="incomplete import"):
+            import_state_dict(sd, params, verbose=False, require_complete=True)
 
     def test_shape_mismatch_raises(self, tmp_path):
         cfg = T5_TINY.replace(vocab_size=600)
