@@ -1,0 +1,82 @@
+"""int8 KV-cache decode: quantization round-trip and logits parity vs the
+bf16 dense cache path (ops/kv_quant.py; config kv_quant="int8")."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yourmt3_tpu.ops.kv_quant import (dequantize_kv, int8_decode_attention,
+                                      quantize_kv)
+
+
+class TestQuantPrimitive:
+    def test_roundtrip_error_bound(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((4, 2, 16, 32)), jnp.float32)
+        q, s = quantize_kv(x)
+        back = dequantize_kv(q, s)
+        # per-row error bounded by half a quantization step
+        step = np.asarray(s)[..., None]
+        assert float(jnp.max(jnp.abs(back - x))) <= float(step.max()) * 0.51
+
+    def test_attention_matches_dense(self):
+        rng = np.random.default_rng(1)
+        S, H, L, dk = 3, 2, 64, 32
+        q = jnp.asarray(rng.standard_normal((S, H, 1, dk)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((S, H, L, dk)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((S, H, L, dk)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((1, H, 1, L)), jnp.float32)
+        logits = jnp.einsum("shqd,shld->shql", q, k) + bias
+        want = jnp.einsum("shql,shld->shqd", jax.nn.softmax(logits, -1), v)
+        kq, ks = quantize_kv(k)
+        vq, vs = quantize_kv(v)
+        got = int8_decode_attention(q, kq, ks, vq, vs, bias)
+        # int8 rounding: ~1% relative; softmax output O(1)
+        assert float(jnp.max(jnp.abs(want - got))) < 5e-2
+
+
+class TestModelInt8Decode:
+    def test_decode_step_logits_close_to_dense(self):
+        """Full decode_step with kv_quant=int8 must track the bf16 dense
+        path closely (greedy ties aside)."""
+        from yourmt3_tpu.config.model import T5_TINY
+        from yourmt3_tpu.models.ymt3 import YMT3
+        cfg_d = T5_TINY.replace(vocab_size=600, d_kv=16, num_heads=4)
+        cfg_q = cfg_d.replace(kv_quant="int8")
+        model_d, model_q = YMT3(cfg_d), YMT3(cfg_q)
+        feats = jnp.asarray(
+            np.random.default_rng(2).standard_normal((1, 16, 24)), jnp.float32)
+        params = model_d.init(jax.random.PRNGKey(0), feats,
+                              jnp.zeros((1, 1, 8), jnp.int32))
+        mem = model_d.apply(params, feats, method=YMT3.encode)
+        cross_d = model_d.apply(params, mem, method=YMT3.init_cross_kv)
+        cross_q = model_q.apply(params, mem, method=YMT3.init_cross_kv)
+        kv_d = model_d.empty_self_kvs(1, 128)
+        kv_q = model_q.empty_self_kvs(1, 128)
+        tok = jnp.asarray([[42]], jnp.int32)
+        for pos in range(4):
+            log_d, kv_d = model_d.apply(params, tok, jnp.asarray(pos),
+                                        kv_d, cross_d, method=YMT3.decode_step)
+            log_q, kv_q = model_q.apply(params, tok, jnp.asarray(pos),
+                                        kv_q, cross_q, method=YMT3.decode_step)
+            err = float(jnp.max(jnp.abs(log_d - log_q)))
+            assert err < 2e-1, (pos, err)
+            tok = jnp.argmax(log_d, -1)[:, None].astype(jnp.int32)
+
+    def test_greedy_decode_runs_and_matches_shape(self):
+        from yourmt3_tpu.config.model import T5_TINY
+        from yourmt3_tpu.models.decoding import greedy_decode
+        from yourmt3_tpu.models.ymt3 import YMT3
+        cfg = T5_TINY.replace(vocab_size=600, d_kv=16, num_heads=4,
+                              kv_quant="int8")
+        model = YMT3(cfg)
+        feats = jnp.asarray(
+            np.random.default_rng(3).standard_normal((2, 16, 24)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), feats,
+                            jnp.zeros((2, 1, 8), jnp.int32))
+        mem = model.apply(params, feats, method=YMT3.encode)
+        ids = greedy_decode(model, params, mem, 16)
+        assert ids.shape == (2, 1, 16)
+        assert ids.dtype == jnp.int32

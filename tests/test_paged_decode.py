@@ -18,8 +18,8 @@ class TestPagedKernel:
         rng = np.random.default_rng(0)
         S, H, L, dk, BLK = 4, 2, 256, 32, 128
         q = jnp.asarray(rng.standard_normal((S, H, dk)), jnp.float32)
-        k = jnp.asarray(rng.standard_normal((L // BLK, S, H, dk, BLK)), jnp.float32)
-        v = jnp.asarray(rng.standard_normal((L // BLK, S, H, dk, BLK)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((L // BLK, S, H, BLK, dk)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((L // BLK, S, H, BLK, dk)), jnp.float32)
         bias = jnp.asarray(rng.standard_normal((H, L)), jnp.float32)
         want = reference_decode_attention(q, k, v, pos, bias)
         got = paged_decode_attention(q, k, v, jnp.asarray(pos), bias,
@@ -70,6 +70,37 @@ class TestPagedKernel:
             tok = jnp.argmax(log_d, -1)[:, None].astype(jnp.int32)
 
 
+class TestPagedCross:
+    @pytest.mark.parametrize("T,blk", [(256, 128), (48, 16)])
+    def test_cross_matches_dense(self, T, blk):
+        """Fused cross-attention kernel == dense softmax(q·K)·V over the
+        full (static) encoder KV, including non-128 block sizes."""
+        from yourmt3_tpu.ops.pallas.decode_attention import (
+            dense_to_paged, paged_cross_attention)
+        rng = np.random.default_rng(3)
+        S, H, dk = 4, 2, 32
+        q = jnp.asarray(rng.standard_normal((S, H, dk)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((S, H, T, dk)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((S, H, T, dk)), jnp.float32)
+        logits = jnp.einsum("shd,shtd->sht", q, k)
+        want = jnp.einsum("sht,shtd->shd", jax.nn.softmax(logits, -1), v)
+        got = paged_cross_attention(q, dense_to_paged(k, blk),
+                                    dense_to_paged(v, blk), T,
+                                    streams_per_tile=2, interpret=True)
+        assert float(jnp.max(jnp.abs(want - got))) < 1e-4
+
+    def test_dense_to_paged_roundtrip(self):
+        from yourmt3_tpu.ops.pallas.decode_attention import (
+            dense_to_paged, paged_to_dense)
+        rng = np.random.default_rng(4)
+        kv = jnp.asarray(rng.standard_normal((3, 2, 256, 16)), jnp.float32)
+        paged = dense_to_paged(kv, 64)
+        assert paged.shape == (4, 3, 2, 64, 16)
+        dense = paged_to_dense(paged)  # (S, H, dk, L)
+        assert np.allclose(np.asarray(dense),
+                           np.asarray(kv.transpose(0, 1, 3, 2)))
+
+
 class TestRelTableBias:
     @pytest.mark.parametrize("pos", [0, 127, 200])
     def test_in_kernel_bias_matches_dense(self, pos):
@@ -78,8 +109,8 @@ class TestRelTableBias:
         S, H, L, dk, BLK = 4, 6, 256, 32, 128
         BUCKETS, MAXD = 32, 128
         q = jnp.asarray(rng.standard_normal((S, H, dk)), jnp.float32)
-        k = jnp.asarray(rng.standard_normal((L // BLK, S, H, dk, BLK)), jnp.float32)
-        v = jnp.asarray(rng.standard_normal((L // BLK, S, H, dk, BLK)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((L // BLK, S, H, BLK, dk)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((L // BLK, S, H, BLK, dk)), jnp.float32)
         table = jnp.asarray(rng.standard_normal((BUCKETS, H)), jnp.float32)
         j = jnp.arange(L)
         buckets = relative_position_bucket(j[None, :] - pos, False,

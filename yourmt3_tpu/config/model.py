@@ -67,6 +67,11 @@ class ModelConfig:
     max_target_length: int = 1024
     decoder_start_token_id: int = 0  # PAD doubles as BOS (T5 convention)
     use_pallas_decode: bool = False  # paged-KV decode attention kernel (TPU)
+    # int8-quantized KV caches for autoregressive decode (self + cross).
+    # Decode attention is HBM-bound on cache reads (measured ~75% of the
+    # flagship step); per-position-scaled int8 halves that traffic with
+    # ~0.7% relative logit error. "none" | "int8".
+    kv_quant: str = "none"
 
     # dtypes
     compute_dtype: str = "bfloat16"

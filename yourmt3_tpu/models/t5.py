@@ -139,21 +139,34 @@ class T5DecoderLayer(nn.Module):
         k_step = self.self_attn._split(self.self_attn.k(h))
         v_step = self.self_attn._split(self.self_attn.v(h))
         ck, cv = self_kv
-        if self.cfg.use_pallas_decode:
+        if self.cfg.kv_quant == "int8":
+            # int8 cache: ck = (k int8 (S,H,L,dk), scales f32 (S,H,L)).
+            # Quantize this step's row, write value+scale in place, attend
+            # with dequant fused into the einsums (ops/kv_quant.py).
+            from ..ops.kv_quant import int8_decode_attention, quantize_kv
+            kq_s, ks_s = quantize_kv(k_step)
+            vq_s, vs_s = quantize_kv(v_step)
+            ck = (jax.lax.dynamic_update_slice(ck[0], kq_s, (0, 0, pos, 0)),
+                  jax.lax.dynamic_update_slice(ck[1], ks_s, (0, 0, pos)))
+            cv = (jax.lax.dynamic_update_slice(cv[0], vq_s, (0, 0, pos, 0)),
+                  jax.lax.dynamic_update_slice(cv[1], vs_s, (0, 0, pos)))
+            att = int8_decode_attention(q, ck[0], ck[1], cv[0], cv[1],
+                                        step_bias)
+        elif self.cfg.use_pallas_decode:
             # paged-KV kernel path: caches are (NB, B, H, dk, block) pages —
             # large contiguous DMA chunks; HBM reads ∝ pos+1, not L. The
             # rel bias is reconstructed in-kernel from the bucket table.
-            from ..ops.pallas.decode_attention import (paged_cache_update,
-                                                       paged_decode_attention)
+            from ..ops.pallas.decode_attention import (
+                paged_cache_update, paged_decode_attention,
+                pick_streams_per_tile)
             ck = paged_cache_update(ck, k_step, pos)
             cv = paged_cache_update(cv, v_step, pos)
-            # single-page caches (short decode): bigger stream tiles
-            # amortize per-program overhead; multi-page keeps sp=8
-            sp = 16 if ck.shape[0] == 1 else 8
+            S, H, _, dk = q.shape
+            sp = pick_streams_per_tile(S, H, dk, ck.shape[3])
             att = paged_decode_attention(
                 q, ck, cv, pos, rel_table=step_bias[1],
                 rel_max_distance=self.cfg.rel_attn_max_distance,
-                block=ck.shape[4], streams_per_tile=sp)
+                block=ck.shape[3], streams_per_tile=sp)
         else:
             ck = jax.lax.dynamic_update_slice(ck, k_step, (0, 0, pos, 0))
             cv = jax.lax.dynamic_update_slice(cv, v_step, (0, 0, pos, 0))
@@ -162,7 +175,22 @@ class T5DecoderLayer(nn.Module):
 
         h = self.norm_cross(y)
         qc = self.cross_attn._split(self.cross_attn.q(h))
-        attc = dot_product_attention(qc, cross_kv[0], cross_kv[1], None)
+        if isinstance(cross_kv[0], tuple):
+            # int8-quantized static cross KV (quantized once at init)
+            from ..ops.kv_quant import int8_decode_attention
+            (ckq, cks), (cvq, cvs) = cross_kv
+            attc = int8_decode_attention(qc, ckq, cks, cvq, cvs, None)
+        elif cross_kv[0].ndim == 5:
+            # paged cross path: one fused kernel pass reads the static
+            # encoder KV once (vs XLA's separate q·K and w·V passes with
+            # VMEM staging copies — measured ~1.7× the isolated cost
+            # inside the decode while-loop)
+            from ..ops.pallas.decode_attention import paged_cross_attention
+            T = cross_kv[0].shape[0] * cross_kv[0].shape[3]
+            attc = paged_cross_attention(qc[:, :, 0, :], cross_kv[0],
+                                         cross_kv[1], T)[:, :, None, :]
+        else:
+            attc = dot_product_attention(qc, cross_kv[0], cross_kv[1], None)
         y = y + self.cross_attn.o(self.cross_attn._merge(attc))
 
         h = self.norm_ff(y)
@@ -209,7 +237,21 @@ class T5Decoder(nn.Module):
 
     # ---- decode-time helpers (used under jit by models/decoding.py) ----
     def init_cross_kv(self, enc_out: jnp.ndarray) -> List[KV]:
-        return [lyr.cross_attn.project_kv(enc_out) for lyr in self.layers]
+        kvs = [lyr.cross_attn.project_kv(enc_out) for lyr in self.layers]
+        if self.cfg.kv_quant == "int8":
+            from ..ops.kv_quant import quantize_kv
+            return [(quantize_kv(k), quantize_kv(v)) for k, v in kvs]
+        if self.cfg.use_pallas_decode:
+            # paged layout for the fused cross-attention kernel; block must
+            # divide T exactly (no padded columns → no masking needed)
+            T = enc_out.shape[-2]
+            block = next((b for b in (128, 64, 32, 16, 8) if T % b == 0),
+                         None)
+            if block is not None:
+                from ..ops.pallas.decode_attention import dense_to_paged
+                kvs = [(dense_to_paged(k, block), dense_to_paged(v, block))
+                       for k, v in kvs]
+        return kvs
 
     def step_bias(self, pos: jnp.ndarray, L: int) -> jnp.ndarray:
         """(1, H, 1, L) bias for query position `pos` (traced scalar)."""
@@ -230,12 +272,14 @@ class T5Decoder(nn.Module):
         → ((B, vocab) logits, updated self KV caches)."""
         y = self.embed(token_ids)
         skv = self_kvs[0][0]
+        if isinstance(skv, tuple):  # int8 cache: (values, scales)
+            skv = skv[0]
         if self.cfg.use_pallas_decode:
             # hand the raw bucket table to the kernel (in-kernel bias)
             bias = ("table",
                     self.rel_bias.variables["params"]["rel_embedding"])
         else:
-            L = (skv.shape[0] * skv.shape[4]) if skv.ndim == 5 else skv.shape[2]
+            L = (skv.shape[0] * skv.shape[3]) if skv.ndim == 5 else skv.shape[2]
             bias = self.step_bias(pos, L)
         new_kvs: List[KV] = []
         for lyr, skv, ckv in zip(self.layers, self_kvs, cross_kvs):

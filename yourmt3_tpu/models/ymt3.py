@@ -78,15 +78,23 @@ class YMT3(nn.Module):
     def empty_self_kvs(self, batch_streams: int, max_len: int) -> List[KV]:
         c = self.cfg
         dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        if c.kv_quant == "int8":
+            # (values int8, per-position fp32 scales); zero scales make
+            # unwritten positions contribute 0 logits (masked anyway)
+            vals = (batch_streams, c.num_heads, max_len, c.d_kv)
+            scls = (batch_streams, c.num_heads, max_len)
+            return [((jnp.zeros(vals, jnp.int8), jnp.zeros(scls, jnp.float32)),
+                     (jnp.zeros(vals, jnp.int8), jnp.zeros(scls, jnp.float32)))
+                    for _ in range(c.num_decoder_layers)]
         if c.use_pallas_decode:
             # paged layout (NB, S, H, dk, block): contiguous per-page DMA,
             # see ops/pallas/decode_attention.py. Larger pages amortize
             # per-program overhead when the decode is short (mc13: L=256
             # fits one page).
             from ..ops.pallas.decode_attention import empty_paged_cache
-            # 128-pages give the finest dead-page skip (measured best at
-            # L=1024); a single 256-page only when the whole decode fits it
-            block = 256 if max_len <= 256 else 128
+            # 64-pages for short multi-channel decodes (finest dead-page
+            # skip: avg live fraction 0.625 at L=256), 128 for long decodes
+            block = 64 if max_len <= 256 else 128
             padded = -(-max_len // block) * block
             return [(empty_paged_cache(batch_streams, c.num_heads, c.d_kv,
                                        padded, block, dt),

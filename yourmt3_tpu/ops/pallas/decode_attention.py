@@ -6,8 +6,8 @@ autoregressive decoding: at step `pos`, XLA's dense attention reads the
 ENTIRE K/V caches from HBM every step (≈200 MB/step for t5-small B=16
 L=1024), even though only `pos+1` positions are live.
 
-Design: caches are paged (NB, S, H, dk, block) — one page is (dk, block),
-lane-aligned, H·dk·block·2B ≈ 98 KB contiguous per (page, stream). The
+Design: caches are paged (NB, S, H, block, dk) — one page is (block, dk),
+position-major, H·block·dk·2B ≈ 98 KB contiguous per (page, stream). The
 grid is (stream_tiles, NB) and the page axis rides pallas' AUTOMATIC
 pipeline (double-buffered prefetch); pages beyond the live range are
 skipped by CLAMPING the BlockSpec index map to the last live page — a
@@ -15,6 +15,14 @@ revisited block index issues no new DMA — and predicating the compute
 with @pl.when. Per-step HBM traffic is ∝ pos+1 instead of ∝ L. Softmax is
 online (flash single-query): running max m, normalizer l, accumulator acc
 persist in VMEM scratch across page steps.
+
+Why position-major pages (block, dk) rather than (dk, block): the
+per-step cache write lands at ONE position, i.e. one sublane row of
+dk contiguous lanes per (s, h) — the same write pattern as the dense
+(S, H, L, dk) cache, which XLA updates in place for ~1 µs/step. The
+previous lane-minor layout made that write a single-lane column scatter;
+XLA materialized it as a full-cache rewrite costing 4 ms/step (measured,
+flagship shape) — 16× the kernel itself.
 
 (A previous revision hand-rolled double-buffered DMA with a dynamic slot
 index; Mosaic materialized the slot select as full-buffer copies and ran
@@ -41,7 +49,8 @@ def _kernel(pos_ref,  # scalar prefetch: (1,) int32
             k_ref, v_ref,  # (1, sp, H, dk, block) VMEM — this page
             out_ref,  # (sp, H, dk) VMEM
             m_ref, l_ref, acc_ref,  # persistent scratch
-            *, block: int, rel_buckets: int = 0, rel_max_distance: int = 128):
+            *, block: int, rel_buckets: int = 0, rel_max_distance: int = 128,
+            has_bias: bool = True, causal: bool = True):
     pos = pos_ref[0]
     b = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -57,15 +66,17 @@ def _kernel(pos_ref,  # scalar prefetch: (1,) int32
     @pl.when(b * block <= pos)
     def _():
         q = q_ref[:].reshape(G, dk).astype(jnp.float32)
-        k = k_ref[0].reshape(G, dk, block).astype(jnp.float32)
-        v = v_ref[0].reshape(G, dk, block).astype(jnp.float32)
-        # logits (G, block) = Σ_d q[g,d]·k[g,d,j]  (singleton M dim for MXU)
+        k = k_ref[0].reshape(G, block, dk).astype(jnp.float32)
+        v = v_ref[0].reshape(G, block, dk).astype(jnp.float32)
+        # logits (G, block) = Σ_d q[g,d]·k[g,j,d]  (singleton M dim for MXU)
         logits = jax.lax.dot_general(
             q[:, None, :], k,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)[:, 0, :]
         j = b * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
-        if rel_buckets:
+        if not has_bias:
+            pass  # cross-attention: no positional bias
+        elif rel_buckets:
             # reconstruct the T5 rel-bias slice IN KERNEL from the bucket
             # table (a runtime (H, L) bias operand measured 15-30× the whole
             # kernel cost; the table is ~1 KB): bucket(d) → one-hot → MXU.
@@ -92,7 +103,8 @@ def _kernel(pos_ref,  # scalar prefetch: (1,) int32
                       + jnp.expand_dims(bias_h, 0)).reshape(G, block)
         else:
             logits += bias_ref[:, pl.ds(b * block, block)]
-        logits = jnp.where(j <= pos, logits, NEG_INF)
+        if causal:
+            logits = jnp.where(j <= pos, logits, NEG_INF)
 
         m = m_ref[:]
         m_new = jnp.maximum(m, jnp.max(logits, axis=1, keepdims=True))
@@ -101,7 +113,7 @@ def _kernel(pos_ref,  # scalar prefetch: (1,) int32
         l_ref[:] = l_ref[:] * scale + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
             p[:, None, :], v,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)[:, 0, :]
         acc_ref[:] = acc_ref[:] * scale + pv
         m_ref[:] = m_new
@@ -114,8 +126,8 @@ def _kernel(pos_ref,  # scalar prefetch: (1,) int32
 
 def paged_decode_attention(
     q: jnp.ndarray,  # (S, H, 1, dk) or (S, H, dk)
-    k_cache: jnp.ndarray,  # (NB, S, H, dk, block) — paged layout
-    v_cache: jnp.ndarray,  # (NB, S, H, dk, block)
+    k_cache: jnp.ndarray,  # (NB, S, H, block, dk) — paged layout
+    v_cache: jnp.ndarray,  # (NB, S, H, block, dk)
     pos: jnp.ndarray,  # scalar int32 — lockstep decode position
     bias_row: Optional[jnp.ndarray] = None,  # (H, L) additive bias for query
     block: int = 128,
@@ -139,20 +151,24 @@ def paged_decode_attention(
         squeeze = True
     S, H, dk = q.shape
     NB = k_cache.shape[0]
-    assert k_cache.shape[4] == block, (k_cache.shape, block)
+    assert k_cache.shape[3] == block, (k_cache.shape, block)
     L = NB * block
     sp = min(streams_per_tile, S)
     while S % sp:
         sp -= 1
     rel_buckets = 0
+    has_bias = rel_table is not None or bias_row is not None
     if rel_table is not None:
         rel_buckets = rel_table.shape[0]
         H_pad = -(-H // 8) * 8
         if rel_table.shape[1] != H_pad:
             rel_table = jnp.pad(rel_table, ((0, 0), (0, H_pad - rel_table.shape[1])))
-    if bias_row is None:
-        bias_row = jnp.zeros((H, L), jnp.float32)
-    if rel_buckets:
+    if not has_bias:
+        # no-bias path (cross-attention): tiny dummy operand, never read
+        bias_in = jnp.zeros((8, 128), jnp.float32)
+        bias_spec = pl.BlockSpec((8, 128), lambda i, b, p: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    elif rel_buckets:
         bias_in = rel_table.astype(jnp.float32)  # (buckets, H_pad), ~1 KB
         bias_spec = pl.BlockSpec((rel_buckets, bias_in.shape[1]),
                                  lambda i, b, p: (0, 0),
@@ -177,10 +193,10 @@ def paged_decode_attention(
             pl.BlockSpec((sp, H, dk), lambda i, b, p: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             bias_spec,
-            pl.BlockSpec((1, sp, H, dk, block),
+            pl.BlockSpec((1, sp, H, block, dk),
                          lambda i, b, p: (page_idx(i, b, p), i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, H, dk, block),
+            pl.BlockSpec((1, sp, H, block, dk),
                          lambda i, b, p: (page_idx(i, b, p), i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -194,7 +210,8 @@ def paged_decode_attention(
     )
     out = pl.pallas_call(
         functools.partial(_kernel, block=block, rel_buckets=rel_buckets,
-                          rel_max_distance=rel_max_distance),
+                          rel_max_distance=rel_max_distance,
+                          has_bias=has_bias),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, H, dk), q.dtype),
         interpret=interpret,
@@ -210,23 +227,74 @@ def paged_decode_attention(
 def empty_paged_cache(streams: int, heads: int, dk: int, max_len: int,
                       block: int = 128, dtype=jnp.bfloat16) -> jnp.ndarray:
     assert max_len % block == 0
-    return jnp.zeros((max_len // block, streams, heads, dk, block), dtype)
+    return jnp.zeros((max_len // block, streams, heads, block, dk), dtype)
+
+
+def pick_streams_per_tile(S: int, H: int, dk: int, block: int,
+                          vmem_budget: int = 11 * 2**20) -> int:
+    """Largest divisor of S whose double-buffered k+v pages fit the VMEM
+    budget (4 buffers in flight × sp·H·block·lanes·2 B each; pages are
+    position-major (block, dk) so dk is the lane dim, padded to 128)."""
+    lanes = max(dk, 128)
+    cap = max(1, vmem_budget // (4 * H * block * lanes * 2))
+    sp = min(cap, S)
+    while S % sp:
+        sp -= 1
+    return sp
+
+
+def dense_to_paged(kv: jnp.ndarray, block: int = 128) -> jnp.ndarray:
+    """(S, H, T, dk) dense KV → (NB, S, H, block, dk) paged layout,
+    zero-padding T up to a multiple of `block` (padded columns must be
+    masked by the caller via pos=T-1)."""
+    S, H, T, dk = kv.shape
+    pad = (-T) % block
+    if pad:
+        kv = jnp.pad(kv, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    Tp = T + pad
+    # (S,H,Tp,dk) → (S,H,NB,block,dk) → (NB,S,H,block,dk)
+    kv = kv.reshape(S, H, Tp // block, block, dk)
+    return kv.transpose(2, 0, 1, 3, 4)
+
+
+def paged_cross_attention(q: jnp.ndarray,  # (S, H, dk) or (S, H, 1, dk)
+                          k_paged: jnp.ndarray,  # (NB, S, H, dk, block)
+                          v_paged: jnp.ndarray,
+                          valid_len: int,
+                          streams_per_tile: Optional[int] = None,
+                          interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Cross-attention decode step through the paged kernel: full read of
+    the (static) encoder KV, no positional bias; padded columns beyond
+    `valid_len` are masked via the kernel's pos mask."""
+    S, H = q.shape[0], q.shape[1]
+    dk = q.shape[-1]
+    block = k_paged.shape[3]
+    if streams_per_tile is None:
+        streams_per_tile = pick_streams_per_tile(S, H, dk, block)
+    return paged_decode_attention(
+        q, k_paged, v_paged, jnp.asarray(valid_len - 1, jnp.int32),
+        block=block, streams_per_tile=streams_per_tile,
+        interpret=interpret)
 
 
 def paged_cache_update(cache: jnp.ndarray, step_kv: jnp.ndarray,
                        pos: jnp.ndarray) -> jnp.ndarray:
-    """Write one step's (S, H, 1, dk) K or V into the paged cache at pos."""
-    block = cache.shape[4]
+    """Write one step's (S, H, 1, dk) K or V into the paged cache at pos.
+
+    The position-major page layout makes this a sublane-row write (dk
+    contiguous lanes per (s, h)) — XLA keeps it in place inside the
+    decode while-loop, same as the dense cache update."""
+    block = cache.shape[3]
     page, off = pos // block, pos % block
-    upd = step_kv.transpose(0, 1, 3, 2)[None]  # (1, S, H, dk, 1)
+    upd = step_kv[None]  # (1, S, H, 1, dk)
     return jax.lax.dynamic_update_slice(cache, upd.astype(cache.dtype),
-                                        (page, 0, 0, 0, off))
+                                        (page, 0, 0, off, 0))
 
 
 def paged_to_dense(cache: jnp.ndarray) -> jnp.ndarray:
-    """(NB, S, H, dk, block) → (S, H, dk, L)."""
-    NB, S, H, dk, block = cache.shape
-    return cache.transpose(1, 2, 3, 0, 4).reshape(S, H, dk, NB * block)
+    """(NB, S, H, block, dk) → (S, H, dk, L)."""
+    NB, S, H, block, dk = cache.shape
+    return cache.transpose(1, 2, 4, 0, 3).reshape(S, H, dk, NB * block)
 
 
 def reference_decode_attention(q, k_cache, v_cache, pos, bias_row=None):
