@@ -1,13 +1,24 @@
 """Benchmark: full-song transcription throughput per chip.
 
-Prints ONE JSON line:
+Default run prints ONE JSON line (the driver contract):
   {"metric": ..., "value": N, "unit": "audio_seconds_per_second_per_chip",
-   "vs_baseline": N}
+   "vs_baseline": N, "p50_latency_ms": N}
 
-Baseline target (BASELINE.md): ≥50× realtime per v5e chip. vs_baseline is
-value / 50. Runs the flagship inference path: fused frontend → encoder →
-projection → jitted while-loop greedy decode (worst-case: no early EOS on
-an untrained model ⇒ the number reported is a floor).
+Headline = the FLAGSHIP config (BASELINE config 3: Perceiver-TF encoder +
+13-channel T5 decoder, the YourMT3+ model) under WORST-CASE decode: EOS is
+banned so every stream runs all 256 steps — a trained model early-exits
+and is strictly faster. p50_latency_ms is the median single-batch latency
+for one 2.048 s segment batch (B=1) through the same jitted path.
+
+`python bench.py --matrix` additionally measures every BASELINE config
+(t5_small, t5_base B=64, drums, flagship) and writes BENCH_MATRIX.json.
+
+Decode-path selection (measured on v5e-1, worst-case floors):
+  - multi-channel short decode (mc13, L=256/ch): int8 KV dense — 53.6 vs
+    34.3 bf16-dense / 35.2 paged
+  - single-channel long decode (L=1024): paged Pallas kernel — 58.7 vs
+    36.4 bf16-dense / 30.8 int8 (reads ∝ pos dominate; few streams make
+    int8's per-step quantize overhead visible)
 """
 
 import json
@@ -16,23 +27,86 @@ import time
 
 import numpy as np
 
+TARGET = 50.0  # audio-seconds/sec/chip (BASELINE.md)
 
-def main():
-    from yourmt3_tpu.utils.jax_setup import setup_jax
-    setup_jax()
+
+def decode_path_overrides(num_channels: int, max_len: int) -> dict:
+    """Fastest measured decode path per shape (see module docstring)."""
+    if num_channels > 1 or max_len < 512:
+        return {"kv_quant": "int8"}
+    return {"use_pallas_decode": True}
+
+
+def build(model_preset, task, overrides):
+    import jax.numpy as jnp
+    from yourmt3_tpu.api import init_model
+    return init_model(model_preset, task, **overrides)
+
+
+def measure(bundle, batch, max_length, n_iters=3, ban_eos=True):
     import functools
 
     import jax
     import jax.numpy as jnp
-    from yourmt3_tpu.api import init_model
     from yourmt3_tpu.models.decoding import greedy_decode
     from yourmt3_tpu.models.ymt3 import YMT3
 
-    model_preset = "t5_small"
-    task = "mt3_full_plus"
-    batch = 16  # sweet spot measured: 49.9 au-s/s vs 46.1 at B=32 (KV traffic)
-    max_length = 1024
-    pallas_decode = None  # auto: kernel wins for long-L few-stream decode
+    ac = bundle.audio_cfg
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((batch, ac.input_frames)),
+                        jnp.float32) * 0.1
+
+    @jax.jit
+    def run(params, audio):
+        feats = bundle.frontend(audio)
+        memory = bundle.model.apply(params, feats, method=YMT3.encode)
+        return greedy_decode(bundle.model, params, memory, max_length,
+                             ban_eos=ban_eos)
+
+    out = run(bundle.params, audio)
+    _ = np.asarray(out)  # materialize: repeated identical dispatches can be
+    # deduped/pipelined on this host, so every timed iteration must fetch
+    ts = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        out = run(bundle.params, audio)
+        _ = np.asarray(out)
+        ts.append(time.perf_counter() - t0)
+    med = sorted(ts)[len(ts) // 2]
+    return batch * ac.segment_seconds / med, med
+
+
+def bench_config(model_preset, task, batch, max_length=None, n_iters=3):
+    bundle_overrides = None
+    from yourmt3_tpu.tokens.task_manager import TaskManager
+    from yourmt3_tpu.config.audio import DEFAULT_AUDIO
+    tm = TaskManager(task, DEFAULT_AUDIO)
+    L = tm.max_token_length if max_length is None else min(
+        max_length, tm.max_token_length)
+    ov = decode_path_overrides(tm.num_decoding_channels, L)
+    bundle = build(model_preset, task, ov)
+    thr, lat = measure(bundle, batch, L, n_iters)
+    # p50 single-batch latency for ONE segment (B=1)
+    _, lat1 = measure(bundle, 1, L, n_iters=5)
+    return {
+        "config": f"{model_preset}/{task}",
+        "batch": batch, "max_length": L, "decode_path": ov,
+        "audio_s_per_s_per_chip": round(thr, 3),
+        "batch_latency_ms": round(lat * 1e3, 1),
+        "p50_segment_latency_ms": round(lat1 * 1e3, 1),
+        "vs_baseline": round(thr / TARGET, 4),
+        "worst_case": True,
+    }
+
+
+def main():
+    from yourmt3_tpu.utils.jax_setup import setup_jax
+    setup_jax()
+
+    matrix_mode = "--matrix" in sys.argv
+    model_preset = "perceiver_tf_mc13"
+    task = "mc13_full_plus_256"
+    batch = 16
     for a in sys.argv[1:]:
         if a.startswith("--model="):
             model_preset = a.split("=", 1)[1]
@@ -40,51 +114,36 @@ def main():
             task = a.split("=", 1)[1]
         elif a.startswith("--batch="):
             batch = int(a.split("=", 1)[1])
-        elif a.startswith("--max-length="):
-            max_length = int(a.split("=", 1)[1])
-        elif a == "--pallas-decode":
-            pallas_decode = True
-        elif a == "--no-pallas-decode":
-            pallas_decode = False
 
-    if pallas_decode is None:
-        # measured: paged kernel 1.3× at L=1024 single-channel; loses at
-        # L=256 × 13 channels (per-program overhead × many short streams)
-        pallas_decode = max_length >= 512
-    bundle = init_model(model_preset, task, use_pallas_decode=pallas_decode)
-    ac = bundle.audio_cfg
-    max_length = min(max_length, bundle.task_manager.max_token_length)
+    if matrix_mode:
+        rows = [
+            # BASELINE config 1: t5_small, single segment
+            bench_config("t5_small", "mt3_full_plus", 1),
+            # throughput-shape t5_small (round-1 headline shape)
+            bench_config("t5_small", "mt3_full_plus", 16),
+            # BASELINE config 2: t5_base, batch-64 chunked full song
+            bench_config("t5_base", "mt3_full_plus", 64),
+            # BASELINE config 4: drum-vocab decode path
+            bench_config("t5_small", "drums_only", 16),
+            # BASELINE config 3 (flagship/headline)
+            bench_config("perceiver_tf_mc13", "mc13_full_plus_256", 16),
+        ]
+        with open("BENCH_MATRIX.json", "w") as f:
+            json.dump(rows, f, indent=1)
+        for r in rows:
+            print(json.dumps(r), file=sys.stderr)
+        head = rows[-1]
+    else:
+        head = bench_config(model_preset, task, batch)
 
-    rng = np.random.default_rng(0)
-    audio = jnp.asarray(rng.standard_normal((batch, ac.input_frames)),
-                        jnp.float32) * 0.1
-
-    # worst-case honest decode: EOS banned ⇒ the while-loop runs all
-    # max_length steps (a trained model early-exits and is strictly faster)
-    @functools.partial(jax.jit, static_argnames=())
-    def run(params, audio):
-        feats = bundle.frontend(audio)
-        memory = bundle.model.apply(params, feats, method=YMT3.encode)
-        return greedy_decode(bundle.model, params, memory, max_length,
-                             ban_eos=True)
-
-    ids = run(bundle.params, audio)
-    ids.block_until_ready()
-
-    n_iters = 3
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        ids = run(bundle.params, audio)
-    ids.block_until_ready()
-    dt = (time.perf_counter() - t0) / n_iters
-
-    audio_seconds = batch * ac.segment_seconds
-    throughput = audio_seconds / dt
     print(json.dumps({
-        "metric": f"full_song_transcription_throughput[{model_preset},B={batch},L={max_length}]",
-        "value": round(throughput, 3),
+        "metric": (f"full_song_transcription_throughput"
+                   f"[{head['config']},B={head['batch']},"
+                   f"L={head['max_length']},worst_case]"),
+        "value": head["audio_s_per_s_per_chip"],
         "unit": "audio_seconds_per_second_per_chip",
-        "vs_baseline": round(throughput / 50.0, 4),
+        "vs_baseline": head["vs_baseline"],
+        "p50_latency_ms": head["p50_segment_latency_ms"],
     }))
 
 
