@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--resume", default=None, help="checkpoint dir to resume")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-workers", type=int, default=None,
+                   help="host batch-producer workers (default: auto from "
+                        "CPU count; processes when >1)")
     p.add_argument("--n-data-shards", type=int, default=None,
                    help="devices on the data mesh axis (default: all)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -79,7 +82,10 @@ def main(argv=None) -> None:
                       align_crops=args.align_crops, seed=args.seed)
     ckpt_dir = args.ckpt_dir or os.path.join("runs", args.exp_name)
     logger = MetricLogger(ckpt_dir, args.exp_name)
-    train(bundle, ds.batches(args.batch_size),
+    num_workers = args.num_workers
+    if num_workers is None:  # auto: leave one core for the consumer/dispatch
+        num_workers = max(1, min(4, (os.cpu_count() or 1) - 1))
+    train(bundle, ds.batches(args.batch_size, num_workers=num_workers),
           total_steps=args.total_steps, log_every=args.log_every,
           ckpt_every=args.ckpt_every, ckpt_dir=ckpt_dir,
           optimizer=args.optimizer, base_lr=args.learning_rate,

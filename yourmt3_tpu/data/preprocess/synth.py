@@ -42,7 +42,16 @@ def render_notes(notes: Sequence[Note], sr: int, duration: float,
                 continue
             f0 = 440.0 * 2 ** ((note.pitch - 69) / 12)
             seg_t = t_all[: i1 - i0]
-            env = np.minimum(1.0, seg_t * 200) * np.exp(-seg_t * 1.5)
+            # Envelope design: offsets must be OBSERVABLE in the audio for
+            # offset-F1 to be learnable. An earlier exp(-1.5·t) decay left
+            # long notes near-silent well before their labeled offset
+            # (offset-F1 cliff: 0.109 vs onset 0.392 zero-shot, round 1);
+            # now: fast attack → gentle sustain decay → sharp 30 ms release
+            # ending exactly at the offset.
+            env = np.minimum(1.0, seg_t * 200) * np.exp(-seg_t * 0.35)
+            rel = min(int(0.03 * sr), i1 - i0)
+            if rel > 0:
+                env[-rel:] = env[-rel:] * np.linspace(1.0, 0.0, rel)
             wave = np.zeros_like(seg_t)
             for h, amp in ((1, 1.0), (2, 0.5), (3, 0.25)):
                 if f0 * h < sr / 2:
