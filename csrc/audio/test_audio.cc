@@ -10,6 +10,7 @@
 
 extern "C" {
 long long ymt3_load_wav_resampled(const char* path, int target_sr, float** out);
+long long ymt3_load_flac_resampled(const char* path, int target_sr, float** out);
 void ymt3_free(float* p);
 long long ymt3_slice_segments(const float* audio, long long n, long long seg_len,
                               float* out, long long max_segments);
@@ -62,6 +63,22 @@ int main() {
   // failure path: bogus file
   float* o2 = nullptr;
   assert(ymt3_load_wav_resampled("/tmp/does_not_exist.wav", 16000, &o2) < 0);
+
+  // FLAC decode under ASAN: committed mid-side FIXED+Rice fixture
+  // (1 s: 0.4·sin(439.5 Hz)+noise left, 0.3·sin(660 Hz) right; mono mix
+  // rms ≈ sqrt((0.4/√2)^2... measured from the python decoder: 0.2310)
+  float* fo = nullptr;
+  long long fn = ymt3_load_flac_resampled("testdata/fixture_ms.flac",
+                                          16000, &fo);
+  printf("flac n=%lld\n", fn);
+  assert(fn == 16000);
+  double fe = 0.0;
+  for (long long i = 0; i < fn; ++i) fe += fo[i] * fo[i];
+  double frms = sqrt(fe / fn);
+  printf("flac rms=%.4f\n", frms);
+  assert(frms > 0.15 && frms < 0.35);
+  ymt3_free(fo);
+  assert(ymt3_load_flac_resampled("/tmp/nope.flac", 16000, &fo) < 0);
   printf("OK\n");
   return 0;
 }

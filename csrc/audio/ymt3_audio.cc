@@ -164,6 +164,243 @@ std::vector<float> resample_poly(const std::vector<float>& x, int sr_in,
   return y;
 }
 
+// ---------------------------------------------------------------------------
+// First-party FLAC decoder (subset: 8-24 bit, CONSTANT/VERBATIM/FIXED/LPC
+// subframes, 4/5-bit Rice partitions, wasted bits, left-side/right-side/
+// mid-side stereo). Slakh2100 — a headline eval dataset — ships FLAC; the
+// reference decodes it through libsndfile/ffmpeg (SURVEY.md C12/C16).
+// Mirrors yourmt3_tpu/data/flac.py (the always-available Python fallback).
+// CRCs are skipped (trusted local datasets).
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* data;
+  size_t len;       // bytes
+  uint64_t pos = 0; // bits
+
+  bool ok(uint64_t need_bits) const { return pos + need_bits <= len * 8; }
+
+  uint64_t read(int n) {
+    uint64_t v = 0;
+    for (int i = 0; i < n; ++i) {
+      uint8_t byte = (pos >> 3) < len ? data[pos >> 3] : 0;
+      v = (v << 1) | ((byte >> (7 - (pos & 7))) & 1);
+      ++pos;
+    }
+    return v;
+  }
+  int64_t read_signed(int n) {
+    uint64_t v = read(n);
+    if (n && (v & (1ull << (n - 1)))) return (int64_t)v - (1ll << n);
+    return (int64_t)v;
+  }
+  int unary() {
+    int n = 0;
+    while (pos < len * 8 && !((data[pos >> 3] >> (7 - (pos & 7))) & 1)) {
+      ++n;
+      ++pos;
+    }
+    if (pos >= len * 8) return -1;
+    ++pos;
+    return n;
+  }
+  void align() { pos = (pos + 7) & ~7ull; }
+  void skip_utf8() {
+    uint64_t first = read(8);
+    int extra = 0;
+    while ((first << extra) & 0x80 && extra < 7) ++extra;
+    for (int i = 1; i < extra; ++i) read(8);
+  }
+};
+
+bool flac_residual(BitReader* br, int blocksize, int pred_order,
+                   std::vector<int64_t>* out) {
+  int method = (int)br->read(2);
+  if (method > 1) return false;
+  int plen = method ? 5 : 4;
+  int escape = (1 << plen) - 1;
+  int porder = (int)br->read(4);
+  int nparts = 1 << porder;
+  for (int p = 0; p < nparts; ++p) {
+    int count = (blocksize >> porder) - (p == 0 ? pred_order : 0);
+    if (count < 0) return false;
+    int param = (int)br->read(plen);
+    if (param == escape) {
+      int raw = (int)br->read(5);
+      for (int i = 0; i < count; ++i)
+        out->push_back(raw ? br->read_signed(raw) : 0);
+    } else {
+      for (int i = 0; i < count; ++i) {
+        if (!br->ok(1)) return false;
+        int q = br->unary();
+        if (q < 0) return false;
+        uint64_t v = ((uint64_t)q << param) | (param ? br->read(param) : 0);
+        out->push_back((int64_t)(v >> 1) ^ -(int64_t)(v & 1));
+      }
+    }
+  }
+  return true;
+}
+
+static const int kFixedCoef[5][4] = {
+    {}, {1}, {2, -1}, {3, -3, 1}, {4, -6, 4, -1}};
+
+bool flac_subframe(BitReader* br, int blocksize, int bps,
+                   std::vector<int64_t>* out) {
+  if (br->read(1)) return false;
+  int type = (int)br->read(6);
+  int wasted = 0;
+  if (br->read(1)) {
+    int u = br->unary();
+    if (u < 0) return false;
+    wasted = u + 1;
+    bps -= wasted;
+  }
+  out->clear();
+  out->reserve(blocksize);
+  if (type == 0) {  // CONSTANT
+    int64_t v = br->read_signed(bps);
+    out->assign(blocksize, v);
+  } else if (type == 1) {  // VERBATIM
+    for (int i = 0; i < blocksize; ++i) out->push_back(br->read_signed(bps));
+  } else if (type >= 8 && type <= 12) {  // FIXED
+    int order = type - 8;
+    for (int i = 0; i < order; ++i) out->push_back(br->read_signed(bps));
+    std::vector<int64_t> resid;
+    if (!flac_residual(br, blocksize, order, &resid)) return false;
+    for (int64_t r : resid) {
+      int64_t pred = 0;
+      size_t n = out->size();
+      for (int j = 0; j < order; ++j)
+        pred += (int64_t)kFixedCoef[order][j] * (*out)[n - 1 - j];
+      out->push_back(pred + r);
+    }
+  } else if (type >= 32) {  // LPC
+    int order = (type & 31) + 1;
+    for (int i = 0; i < order; ++i) out->push_back(br->read_signed(bps));
+    int precision = (int)br->read(4) + 1;
+    if (precision == 16) return false;  // escape value
+    int shift = (int)br->read_signed(5);
+    std::vector<int64_t> coef(order);
+    for (int i = 0; i < order; ++i) coef[i] = br->read_signed(precision);
+    std::vector<int64_t> resid;
+    if (!flac_residual(br, blocksize, order, &resid)) return false;
+    for (int64_t r : resid) {
+      int64_t acc = 0;
+      size_t n = out->size();
+      for (int j = 0; j < order; ++j) acc += coef[j] * (*out)[n - 1 - j];
+      out->push_back((acc >> shift) + r);
+    }
+  } else {
+    return false;
+  }
+  if (wasted)
+    for (auto& s : *out) s <<= wasted;
+  return (int)out->size() == blocksize;
+}
+
+static const int kBlocksizeCode[16] = {0,   192,  576,   1152,  2304, 4608,
+                                       -8,  -16,  256,   512,   1024, 2048,
+                                       4096, 8192, 16384, 32768};
+static const int kSampleSizeCode[8] = {0, 8, 12, 0, 16, 20, 24, 32};
+
+bool parse_flac(const uint8_t* buf, size_t len, WavData* out) {
+  if (len < 42 || memcmp(buf, "fLaC", 4)) return false;
+  size_t off = 4;
+  int sr = 0, channels = 0, bps = 0;
+  uint64_t total = 0;
+  while (off + 4 <= len) {
+    uint8_t hdr = buf[off];
+    bool last = hdr & 0x80;
+    int btype = hdr & 0x7F;
+    uint32_t blen = ((uint32_t)buf[off + 1] << 16) |
+                    ((uint32_t)buf[off + 2] << 8) | buf[off + 3];
+    if (off + 4 + blen > len) return false;
+    if (btype == 0 && blen >= 34) {
+      BitReader si{buf + off + 4, blen};
+      si.read(16); si.read(16); si.read(24); si.read(24);
+      sr = (int)si.read(20);
+      channels = (int)si.read(3) + 1;
+      bps = (int)si.read(5) + 1;
+      total = si.read(36);
+    }
+    off += 4 + blen;
+    if (last) break;
+  }
+  if (!sr || !channels || bps < 8 || bps > 24) return false;
+
+  BitReader br{buf, len};
+  br.pos = off * 8;
+  std::vector<std::vector<int64_t>> chans(channels);
+  std::vector<std::vector<int64_t>> subs;
+  uint64_t decoded = 0;
+  while ((total == 0 || decoded < total) && br.ok(48)) {
+    if (br.read(14) != 0x3FFE) return false;
+    br.read(2);  // reserved + blocking strategy
+    int bs_code = (int)br.read(4);
+    int sr_code = (int)br.read(4);
+    int chan_asgn = (int)br.read(4);
+    int ss_code = (int)br.read(3);
+    br.read(1);
+    br.skip_utf8();
+    int blocksize;
+    if (bs_code == 6) blocksize = (int)br.read(8) + 1;
+    else if (bs_code == 7) blocksize = (int)br.read(16) + 1;
+    else if (bs_code == 0) return false;
+    else blocksize = kBlocksizeCode[bs_code];
+    if (sr_code == 12) br.read(8);
+    else if (sr_code == 13 || sr_code == 14) br.read(16);
+    int fbps = kSampleSizeCode[ss_code] ? kSampleSizeCode[ss_code] : bps;
+    br.read(8);  // header CRC-8
+    int nsub = chan_asgn <= 7 ? chan_asgn + 1 : 2;
+    if (nsub != channels) return false;
+    subs.assign(nsub, {});
+    for (int c = 0; c < nsub; ++c) {
+      int sbps = fbps;
+      if ((chan_asgn == 8 && c == 1) || (chan_asgn == 9 && c == 0) ||
+          (chan_asgn == 10 && c == 1))
+        sbps += 1;  // side channel carries one extra bit
+      if (!flac_subframe(&br, blocksize, sbps, &subs[c])) return false;
+    }
+    br.align();
+    br.read(16);  // frame CRC-16
+    if (chan_asgn == 8) {  // left/side → L, R=L-s
+      for (int i = 0; i < blocksize; ++i) {
+        chans[0].push_back(subs[0][i]);
+        chans[1].push_back(subs[0][i] - subs[1][i]);
+      }
+    } else if (chan_asgn == 9) {  // side/right → L=R+s, R
+      for (int i = 0; i < blocksize; ++i) {
+        chans[0].push_back(subs[1][i] + subs[0][i]);
+        chans[1].push_back(subs[1][i]);
+      }
+    } else if (chan_asgn == 10) {  // mid/side
+      for (int i = 0; i < blocksize; ++i) {
+        int64_t m = (subs[0][i] << 1) | (subs[1][i] & 1);
+        chans[0].push_back((m + subs[1][i]) >> 1);
+        chans[1].push_back((m - subs[1][i]) >> 1);
+      }
+    } else {
+      for (int c = 0; c < nsub; ++c)
+        chans[c].insert(chans[c].end(), subs[c].begin(), subs[c].end());
+    }
+    decoded += blocksize;
+  }
+  if (total && decoded < total) return false;
+
+  size_t n = total ? (size_t)total : chans[0].size();
+  out->samples.resize(n);
+  out->sample_rate = sr;
+  const float scale = 1.0f / (float)(1u << (bps - 1));
+  const float inv_ch = 1.0f / (float)channels;
+  for (size_t i = 0; i < n; ++i) {
+    float acc = 0.f;
+    for (int c = 0; c < channels; ++c) acc += (float)chans[c][i] * scale;
+    out->samples[i] = acc * inv_ch;
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
@@ -194,6 +431,31 @@ long long ymt3_load_wav_resampled(const char* path, int target_sr,
 }
 
 void ymt3_free(float* p) { free(p); }
+
+// Load FLAC at `path`, mixdown to mono, resample to target_sr. Same
+// contract as ymt3_load_wav_resampled (returns <=0 → Python fallback).
+long long ymt3_load_flac_resampled(const char* path, int target_sr,
+                                   float** out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(sz);
+  if (fread(buf.data(), 1, sz, f) != (size_t)sz) {
+    fclose(f);
+    return -2;
+  }
+  fclose(f);
+  WavData flac;
+  if (!parse_flac(buf.data(), buf.size(), &flac)) return -3;
+  std::vector<float> res =
+      resample_poly(flac.samples, flac.sample_rate, target_sr);
+  *out = (float*)malloc(res.size() * sizeof(float));
+  if (!*out) return -4;
+  memcpy(*out, res.data(), res.size() * sizeof(float));
+  return (long long)res.size();
+}
 
 // Segment framing on the native side: audio (n) → (n_seg, seg_len) with
 // zero-padded tail (reference slice_padded_array, SURVEY.md C12).

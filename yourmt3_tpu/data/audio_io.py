@@ -39,6 +39,10 @@ def _load_native():
                 ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
             ]
             lib.ymt3_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+            if hasattr(lib, "ymt3_load_flac_resampled"):
+                lib.ymt3_load_flac_resampled.restype = ctypes.c_longlong
+                lib.ymt3_load_flac_resampled.argtypes = \
+                    lib.ymt3_load_wav_resampled.argtypes
             _NATIVE = lib
         except OSError:
             _NATIVE = False
@@ -138,25 +142,53 @@ def load_audio_file(path: str, target_sr: int = 16000, mono: bool = True
     Reference `load_audio_file` (SURVEY.md C12). Uses the C++ fast path
     when csrc/audio is built, numpy otherwise.
     """
+    is_flac = _sniff_flac(path)
     lib = _load_native()
     if lib and mono:
-        out = ctypes.POINTER(ctypes.c_float)()
-        n = lib.ymt3_load_wav_resampled(path.encode(), target_sr,
-                                        ctypes.byref(out))
-        if n > 0:
-            arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
-            lib.ymt3_free(out)
-            return arr, target_sr
+        fn = None
+        if is_flac:
+            fn = getattr(lib, "ymt3_load_flac_resampled", None)
+        else:
+            fn = lib.ymt3_load_wav_resampled
+        if fn is not None:
+            out = ctypes.POINTER(ctypes.c_float)()
+            n = fn(path.encode(), target_sr, ctypes.byref(out))
+            if n > 0:
+                arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
+                lib.ymt3_free(out)
+                return arr, target_sr
         # n <= 0: unsupported container for the native path — fall through
-    audio, sr = read_wav(path)
+    if is_flac:
+        from .flac import read_flac
+        audio, sr = read_flac(path)
+    else:
+        audio, sr = read_wav(path)
     if mono:
         audio = audio.mean(axis=0)
     audio = resample(audio, sr, target_sr)
     return audio, target_sr
 
 
+def _sniff_flac(path: str) -> bool:
+    """Dispatch on content magic, not extension (Slakh ships .flac but
+    converters may hand either)."""
+    if path.lower().endswith(".flac"):
+        return True
+    if path.lower().endswith(".wav"):
+        return False
+    try:
+        with open(path, "rb") as f:
+            return f.read(4) == b"fLaC"
+    except OSError:
+        return False
+
+
 def get_audio_file_info(path: str) -> Tuple[int, int, int]:
     """→ (sample_rate, n_samples, n_channels) without decoding everything."""
+    if _sniff_flac(path):
+        from .flac import flac_info
+        sr, channels, _, total = flac_info(path)
+        return sr, total, channels
     audio, sr = read_wav(path)
     return sr, audio.shape[1], audio.shape[0]
 

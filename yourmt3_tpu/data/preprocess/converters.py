@@ -80,24 +80,36 @@ def preprocess_maestro(source: str, data_home: str) -> Dict[str, str]:
     return {s: _emit(t, data_home, "maestro", s) for s, t in per_split.items()}
 
 
+def _find_audio(dirname: str, base: str) -> Optional[str]:
+    """First existing of base.{wav,flac} — Slakh2100 ships FLAC (decoded
+    by the first-party csrc/audio + data/flac.py decoders); resynthesized
+    or converted trees may carry WAV."""
+    for ext in (".wav", ".flac"):
+        p = os.path.join(dirname, base + ext)
+        if os.path.exists(p):
+            return p
+    return None
+
+
 def preprocess_slakh(source: str, data_home: str) -> Dict[str, str]:
-    """Slakh2100: {split}/TrackXXXXX/{mix.wav, MIDI/SXX.mid, metadata.yaml}.
-    Stem audio under stems/SXX.wav enables submix augmentation."""
+    """Slakh2100: {split}/TrackXXXXX/{mix.{wav,flac}, MIDI/SXX.mid,
+    metadata.yaml}. Stem audio under stems/SXX.{wav,flac} enables submix
+    augmentation."""
     out = {}
     for split_dir, split in (("train", "train"), ("validation", "validation"),
                              ("test", "test")):
         tracks = []
         for tdir in sorted(glob.glob(os.path.join(source, split_dir, "Track*"))):
             tid = "slakh_" + os.path.basename(tdir)
-            mix = os.path.join(tdir, "mix.wav")
-            if not os.path.exists(mix):
+            mix = _find_audio(tdir, "mix")
+            if mix is None:
                 continue
             stem_meta = _parse_slakh_metadata(os.path.join(tdir, "metadata.yaml"))
             all_notes: List[List[Note]] = []
             stem_files, stem_notes = {}, {}
             for stem_id, info in stem_meta.items():
                 mid = os.path.join(tdir, "MIDI", f"{stem_id}.mid")
-                wav = os.path.join(tdir, "stems", f"{stem_id}.wav")
+                wav = _find_audio(os.path.join(tdir, "stems"), stem_id)
                 if not os.path.exists(mid):
                     continue
                 is_drum = bool(info.get("is_drum"))
@@ -105,7 +117,7 @@ def preprocess_slakh(source: str, data_home: str) -> Dict[str, str]:
                 notes = midi2note(mid, force_all_drums=is_drum,
                                   force_program=None if is_drum else prog)
                 all_notes.append(notes)
-                if os.path.exists(wav):
+                if wav is not None:
                     nf = _notes_npz(data_home, "slakh", f"{tid}_{stem_id}", notes)
                     stem_files[stem_id] = wav
                     stem_notes[stem_id] = nf
