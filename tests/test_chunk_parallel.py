@@ -38,3 +38,28 @@ class TestChunkParallel:
                                                     make_mesh(n_data=8),
                                                     segments_per_device=1)
         assert isinstance(notes, list)
+
+
+class TestEvalSweepChunkParallel:
+    def test_evaluate_file_dataset_f1_identical_sharded(self, tmp_path):
+        """BASELINE config 5: the eval sweep run chunk-parallel over the
+        8-device mesh must produce METRICS identical to single-device."""
+        from yourmt3_tpu.data.dataset_eval import AudioFileDataset
+        from yourmt3_tpu.data.preprocess.synth import build_synth_dataset
+        from yourmt3_tpu.eval.evaluator import evaluate_file_dataset
+
+        out = build_synth_dataset(str(tmp_path), n_tracks=2, duration=2.5,
+                                  splits=("test",), seed=5,
+                                  dataset_name="cp")
+        bundle = init_model("t5_tiny", "mt3_full_plus",
+                            audio_cfg=TINY_AUDIO)
+        ds = AudioFileDataset(out["test"], TINY_AUDIO)
+        single = evaluate_file_dataset(bundle, ds, batch_size=4,
+                                       verbose=False)
+        ds2 = AudioFileDataset(out["test"], TINY_AUDIO)
+        sharded = evaluate_file_dataset(bundle, ds2, verbose=False,
+                                        mesh=make_mesh(n_data=8),
+                                        segments_per_device=2)
+        assert set(single) == set(sharded)
+        for k in single:
+            assert single[k] == pytest.approx(sharded[k], abs=1e-9), k

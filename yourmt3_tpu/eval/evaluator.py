@@ -28,8 +28,15 @@ def evaluate_file_dataset(
     batch_size: int = 8,
     subtask: Optional[str] = None,
     verbose: bool = True,
+    mesh=None,  # jax.sharding.Mesh → chunk-parallel song streaming
+    segments_per_device: int = 2,
 ) -> Dict[str, float]:
-    """→ macro-averaged metric dict over the dataset's tracks."""
+    """→ macro-averaged metric dict over the dataset's tracks.
+
+    With `mesh`, each song's segment axis is sharded over the mesh's data
+    axis (parallel/chunk_stream.py) — the BASELINE config-5 "v5e-8
+    data-parallel batch eval sweep"; metrics are identical to the
+    single-device path (locked by tests/test_chunk_parallel.py)."""
     pv: Optional[InstrumentVocabulary] = (
         PROGRAM_VOCABULARIES[eval_program_vocab] if eval_program_vocab else None)
     dv: Optional[DrumVocabulary] = (
@@ -39,8 +46,14 @@ def evaluate_file_dataset(
     for track_id, segments, start_times, ref_notes in dataset:
         # reuse the batched full-song path on the pre-sliced segments
         audio_flat = segments.reshape(-1)[: segments.shape[0] * bundle.audio_cfg.input_frames]
-        est_notes, err = transcribe_audio_array(
-            bundle, audio_flat, batch_size=batch_size, subtask=subtask)
+        if mesh is not None:
+            from ..parallel.chunk_stream import transcribe_song_chunk_parallel
+            est_notes, err = transcribe_song_chunk_parallel(
+                bundle, audio_flat, mesh,
+                segments_per_device=segments_per_device, subtask=subtask)
+        else:
+            est_notes, err = transcribe_audio_array(
+                bundle, audio_flat, batch_size=batch_size, subtask=subtask)
         total_err += err.total()
         ref = bundle.task_manager.remap_notes(ref_notes)
         s = metrics.update(ref, est_notes)

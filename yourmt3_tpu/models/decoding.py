@@ -19,6 +19,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..tokens.codec import EOS_ID, PAD_ID
 from .ymt3 import YMT3
@@ -81,6 +82,130 @@ def jit_greedy_decode(model: YMT3, params, memory: jnp.ndarray,
                       max_length: int,
                       prefix_ids: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     return greedy_decode(model, params, memory, max_length, prefix_ids)
+
+
+# ---------------------------------------------------------------------------
+# Early-exit decode with stream compaction (VERDICT round-1 item 6)
+# ---------------------------------------------------------------------------
+
+class ChunkState(NamedTuple):
+    pos: jnp.ndarray
+    buf: jnp.ndarray
+    done: jnp.ndarray
+    self_kvs: Any
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("model", "chunk", "eos_id", "has_prefix"))
+def _decode_chunk(model: YMT3, params, self_kvs, buf, done, pos, cross_kvs,
+                  prefix_ids, chunk: int, eos_id: int, has_prefix: bool):
+    """Run up to `chunk` decode steps (stops early when every stream is
+    done). Same per-step body as greedy_decode."""
+    S = buf.shape[0]
+    max_length = buf.shape[1] - 1
+    limit = jnp.minimum(pos + chunk, max_length)
+    P = 0 if not has_prefix else int(prefix_ids.shape[0])
+
+    def cond(st: ChunkState):
+        return jnp.logical_and(st.pos < limit, ~jnp.all(st.done))
+
+    def body(st: ChunkState):
+        tok = jax.lax.dynamic_slice(st.buf, (0, st.pos), (S, 1))
+        logits, new_kvs = model.apply(params, tok, st.pos, st.self_kvs,
+                                      cross_kvs, method=YMT3.decode_step)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if P > 0:
+            forced = prefix_ids[jnp.minimum(st.pos, P - 1)].astype(jnp.int32)
+            nxt = jnp.where(st.pos < P, forced, nxt)
+        nxt = jnp.where(st.done, PAD_ID, nxt)
+        done = jnp.logical_or(st.done, nxt == eos_id)
+        b = jax.lax.dynamic_update_slice(st.buf, nxt[:, None],
+                                         (0, st.pos + 1))
+        return ChunkState(st.pos + 1, b, done, new_kvs)
+
+    st = jax.lax.while_loop(cond, body, ChunkState(pos, buf, done, self_kvs))
+    return st.self_kvs, st.buf, st.done, st.pos
+
+
+def _gather_streams(tree, idx: jnp.ndarray):
+    """Take rows of every cache tensor along its stream axis (paged
+    caches carry streams on axis 1, everything else on axis 0)."""
+
+    def take(x):
+        axis = 1 if x.ndim == 5 else 0
+        return jnp.take(x, idx, axis=axis)
+
+    return jax.tree_util.tree_map(take, tree)
+
+
+def greedy_decode_early_exit(
+    model: YMT3,
+    params,
+    memory: jnp.ndarray,  # (B, C, T, D)
+    max_length: int,
+    prefix_ids: Optional[jnp.ndarray] = None,
+    eos_id: int = EOS_ID,
+    chunk: int = 64,
+    compact_threshold: float = 0.5,
+) -> jnp.ndarray:
+    """Greedy decode that RETIRES finished streams: decodes in `chunk`-step
+    device programs and, between chunks, compacts still-active streams
+    into a smaller (multiple-of-8-padded) batch — caches, cross-KV and
+    buffers are gathered on device. Token output is IDENTICAL to
+    greedy_decode (locked by tests); wall-clock drops when stream lengths
+    vary, because short streams stop paying for long ones.
+
+    The plain greedy_decode already stops when ALL streams finish; this
+    adds the per-stream dimension the reference never had (its decode is
+    a Python loop, SURVEY.md C21)."""
+    B, C = memory.shape[0], memory.shape[1]
+    S = B * C
+    start = model.cfg.decoder_start_token_id
+
+    cross_kvs = model.apply(params, memory, method=YMT3.init_cross_kv)
+    self_kvs = model.empty_self_kvs(S, max_length)
+    buf = jnp.full((S, max_length + 1), PAD_ID, jnp.int32).at[:, 0].set(start)
+    done = jnp.zeros((S,), bool)
+    pos = jnp.asarray(0, jnp.int32)
+    has_prefix = prefix_ids is not None
+    pfx = prefix_ids if has_prefix else jnp.zeros((0,), jnp.int32)
+
+    out = np.full((S, max_length + 1), PAD_ID, np.int32)
+    order = np.arange(S)  # current row → original stream row
+
+    while True:
+        self_kvs, buf, done, pos = _decode_chunk(
+            model, params, self_kvs, buf, done, pos, cross_kvs, pfx,
+            chunk, eos_id, has_prefix)
+        done_h = np.asarray(done)[: len(order)]
+        pos_h = int(pos)
+        if pos_h >= max_length or done_h.all():
+            break
+        n_active = int((~done_h).sum())
+        # power-of-two×8 buckets bound recompiles to log2(S) programs
+        padded = 8
+        while padded < n_active:
+            padded *= 2
+        if padded <= compact_threshold * len(done_h):
+            # retire finished rows to the host-side output...
+            fin = np.where(done_h)[0]
+            out[order[fin]] = np.asarray(buf)[fin]
+            # ...and compact the active ones (pad by repeating row 0 with
+            # done=True so dummies stay frozen)
+            act = np.where(~done_h)[0]
+            idx = np.concatenate([act, np.zeros(padded - n_active, np.int64)])
+            idx_j = jnp.asarray(idx, jnp.int32)
+            buf = jnp.take(buf, idx_j, axis=0)
+            done = jnp.asarray(
+                np.concatenate([np.zeros(n_active, bool),
+                                np.ones(padded - n_active, bool)]))
+            self_kvs = _gather_streams(self_kvs, idx_j)
+            cross_kvs = _gather_streams(cross_kvs, idx_j)
+            order = order[act]
+
+    buf_h = np.asarray(buf)
+    out[order] = buf_h[: len(order)]
+    return jnp.asarray(out[:, 1:]).reshape(B, C, max_length)
 
 
 class BeamState(NamedTuple):

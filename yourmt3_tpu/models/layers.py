@@ -108,6 +108,7 @@ class MultiHeadAttention(nn.Module):
     d_kv: int
     d_model: int
     dtype: Dtype = jnp.bfloat16
+    use_rope: bool = False  # rotary q/k over the sequence axis
 
     def setup(self):
         d_inner = self.num_heads * self.d_kv
@@ -134,6 +135,8 @@ class MultiHeadAttention(nn.Module):
         q = self._split(self.q(x_q))
         k = self._split(self.k(x_kv))
         v = self._split(self.v(x_kv))
+        if self.use_rope:
+            q, k = rope_rotate(q), rope_rotate(k)
         out = dot_product_attention(q, k, v, bias)
         return self.o(self._merge(out))
 
@@ -147,6 +150,37 @@ class MultiHeadAttention(nn.Module):
         q = self._split(self.q(x_q))
         out = dot_product_attention(q, k, v, bias)
         return self.o(self._merge(out))
+
+
+def rope_rotate(x: jnp.ndarray, base: float = 10000.0) -> jnp.ndarray:
+    """Rotary position embedding over the sequence axis.
+
+    x: (B, H, T, dk) with dk even → same shape, each head-dim pair
+    rotated by position-dependent angles (reference `positional_
+    encoding.py` RoPE option, SURVEY.md C24)."""
+    B, H, T, dk = x.shape
+    half = dk // 2
+    freqs = 1.0 / (base ** (jnp.arange(half, dtype=jnp.float32) / half))
+    ang = jnp.arange(T, dtype=jnp.float32)[:, None] * freqs[None]  # (T, half)
+    cos = jnp.cos(ang)[None, None]
+    sin = jnp.sin(ang)[None, None]
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], -1)
+    return out.astype(x.dtype)
+
+
+def alibi_slopes(num_heads: int) -> np.ndarray:
+    """ALiBi per-head slopes: geometric sequence starting at 2^(-8/H)."""
+    start = 2.0 ** (-8.0 / num_heads)
+    return start ** np.arange(1, num_heads + 1)
+
+
+def alibi_bias(num_heads: int, q_len: int, k_len: int) -> jnp.ndarray:
+    """(1, H, q_len, k_len) additive bias: -slope·|i-j| (bidirectional
+    variant — the encoder attends both ways)."""
+    slopes = jnp.asarray(alibi_slopes(num_heads), jnp.float32)
+    dist = jnp.abs(jnp.arange(k_len)[None, :] - jnp.arange(q_len)[:, None])
+    return (-slopes[:, None, None] * dist[None].astype(jnp.float32))[None]
 
 
 ACTIVATIONS = {

@@ -33,17 +33,25 @@ def _dtype(cfg: ModelConfig):
 
 
 class PTFBlockAttention(nn.Module):
-    """Pre-norm self-attention + FF over the last-two axes (L, D)."""
+    """Pre-norm self-attention + FF over the last-two axes (L, D).
+
+    pos_mode (temporal blocks only): "none" | "rope" (rotary q/k) |
+    "alibi" (additive distance bias) — reference ptf_pos_enc options
+    (SURVEY.md C24)."""
 
     cfg: ModelConfig
     name_prefix: str = ""
+    pos_mode: str = "none"
 
     def setup(self):
         c, dt = self.cfg, _dtype(self.cfg)
         d = c.ptf_d_latent
         heads = max(1, d // 32)
+        self.num_heads = heads
         self.norm_attn = RMSNorm(dtype=dt, name="norm_attn")
-        self.attn = MultiHeadAttention(heads, d // heads, d, dt, name="attn")
+        self.attn = MultiHeadAttention(heads, d // heads, d, dt,
+                                       use_rope=self.pos_mode == "rope",
+                                       name="attn")
         self.norm_ff = RMSNorm(dtype=dt, name="norm_ff")
         if c.ptf_num_moe_experts > 0:
             self.ff = MoEFeedForward(c.ptf_num_moe_experts, d * 4, d,
@@ -57,7 +65,11 @@ class PTFBlockAttention(nn.Module):
 
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         h = self.norm_attn(x)
-        x = x + self.drop(self.attn(h, h, None), deterministic=deterministic)
+        bias = None
+        if self.pos_mode == "alibi":
+            from .layers import alibi_bias
+            bias = alibi_bias(self.num_heads, x.shape[1], x.shape[1])
+        x = x + self.drop(self.attn(h, h, bias), deterministic=deterministic)
         h = self.norm_ff(x)
         x = x + self.drop(self.ff(h, deterministic=deterministic),
                           deterministic=deterministic)
@@ -85,13 +97,18 @@ class PerceiverTFEncoder(nn.Module):
         self.sca_ff = FeedForward(d * 4, d, act=c.ptf_ff_act,
                                   dropout_rate=c.dropout_rate, dtype=dt,
                                   name="sca_ff")
-        self.temporal_blocks = [PTFBlockAttention(c, name=f"temporal_{i}")
+        pos_mode = "none" if c.ptf_pos_enc == "trainable" else c.ptf_pos_enc
+        self.temporal_blocks = [PTFBlockAttention(c, pos_mode=pos_mode,
+                                                  name=f"temporal_{i}")
                                 for i in range(c.ptf_num_blocks)]
         self.spectral_blocks = [PTFBlockAttention(c, name=f"spectral_{i}")
                                 for i in range(c.ptf_num_blocks)]
-        # trainable temporal position embedding (reference ptf_pos_enc)
-        self.time_pos = self.param("time_pos", nn.initializers.normal(0.02),
-                                   (1024, d), jnp.float32)
+        # trainable temporal position embedding (reference ptf_pos_enc
+        # default); "rope"/"alibi" instead act inside the temporal blocks
+        if c.ptf_pos_enc == "trainable":
+            self.time_pos = self.param("time_pos",
+                                       nn.initializers.normal(0.02),
+                                       (1024, d), jnp.float32)
         self.final_norm = RMSNorm(dtype=dt, name="final_norm")
         self.drop = nn.Dropout(c.dropout_rate)
 
@@ -118,7 +135,8 @@ class PerceiverTFEncoder(nn.Module):
         z = z.reshape(B, T, K, D)
 
         # --- temporal position encoding ---------------------------------
-        z = z + self.time_pos[:T].astype(dt)[None, :, None, :]
+        if c.ptf_pos_enc == "trainable":
+            z = z + self.time_pos[:T].astype(dt)[None, :, None, :]
 
         # --- alternating temporal / spectral self-attention --------------
         for tb, sb in zip(self.temporal_blocks, self.spectral_blocks):

@@ -38,6 +38,14 @@ class EncoderProjection(nn.Module):
                 h = nn.gelu(h)
                 h = nn.Dense(c.d_model, use_bias=False, dtype=self.dtype,
                              name="proj_out")(h)
+            elif c.proj_type == "depthwise-conv":
+                # depthwise temporal conv + pointwise dim adapter
+                # (reference projection_layer.py conv variant, SURVEY C24)
+                h = nn.Conv(D, kernel_size=(3,), feature_group_count=D,
+                            use_bias=False, dtype=self.dtype,
+                            name="dw_conv")(enc_out)
+                h = nn.Dense(c.d_model, use_bias=False, dtype=self.dtype,
+                             name="pw_proj")(h)
             elif D != c.d_model or c.proj_type == "linear-forced":
                 h = nn.Dense(c.d_model, use_bias=False, dtype=self.dtype,
                              name="proj")(enc_out)
@@ -55,6 +63,15 @@ class EncoderProjection(nn.Module):
             raise ValueError(f"num_latents {K} not divisible by channels {C}")
         g = K // C
         h = enc_out.reshape(B, T, C, g * D).transpose(0, 2, 1, 3)  # (B,C,T,gD)
+        if c.proj_type == "group-conv":
+            # depthwise temporal conv per channel group before the linear
+            # adapter (conv variant of the grouped projection, SURVEY C24)
+            gd = g * D
+            h = h.reshape(B * C, T, gd)
+            h = nn.Conv(gd, kernel_size=(3,), feature_group_count=gd,
+                        use_bias=False, dtype=self.dtype,
+                        name="group_dw_conv")(h)
+            h = h.reshape(B, C, T, gd)
         h = nn.Dense(c.d_model, use_bias=False, dtype=self.dtype,
                      name="group_proj")(h)
         return h  # (B, C, T, d_model)
