@@ -156,3 +156,37 @@ class TestMetrics:
         m2 = AMTMetrics(None, None)
         m2.update(piano, piano)
         assert "multi_f1" not in m2.compute()
+
+
+class TestDatasetEvalVocabs:
+    """URMP / MusicNet per-instrument eval groupings (SURVEY C27)."""
+
+    def test_urmp_vocab_groups_programs(self):
+        from yourmt3_tpu.config.vocabulary import PROGRAM_VOCABULARIES
+        v = PROGRAM_VOCABULARIES["urmp_instr"]
+        arr = v.program_to_class_array()
+        assert arr[40] != arr[41] != arr[42]  # strings are separate classes
+        assert arr[73] == arr[72]  # flutes group
+        assert v.num_classes == 13 and not v.has_drums
+
+    def test_urmp_multi_f1_per_instrument(self):
+        """Same pitch on violin vs viola must NOT match under urmp_instr
+        multi-instrument F1 (it would under a coarse strings class)."""
+        from yourmt3_tpu.config.vocabulary import PROGRAM_VOCABULARIES
+        from yourmt3_tpu.eval.metrics import evaluate_track
+        from yourmt3_tpu.tokens.dataclasses import Note
+        ref = [Note(False, 40, 0.5, 1.0, 60, 80)]   # violin
+        est = [Note(False, 41, 0.5, 1.0, 60, 80)]   # viola
+        v = PROGRAM_VOCABULARIES["urmp_instr"]
+        res = evaluate_track(ref, est, eval_program_vocab=v)
+        assert res.multi_f1 == 0.0
+        est_ok = [Note(False, 40, 0.5, 1.0, 60, 80)]
+        res2 = evaluate_track(ref, est_ok, eval_program_vocab=v)
+        assert res2.multi_f1 == 1.0
+
+    def test_musicnet_vocab_registered(self):
+        from yourmt3_tpu.config.vocabulary import PROGRAM_VOCABULARIES
+        v = PROGRAM_VOCABULARIES["musicnet_instr"]
+        arr = v.program_to_class_array()
+        assert arr[0] == arr[6]   # piano incl. harpsichord
+        assert arr[40] != arr[42]  # violin vs cello separate

@@ -67,7 +67,7 @@ _reg(DataPreset("mir_st500", (DatasetEntry("mir_st500", eval_program_vocab="sing
                 default_task="singing_v1"))
 _reg(DataPreset("cmedia", (DatasetEntry("cmedia", eval_program_vocab="singing_solo"),),
                 default_task="singing_v1"))
-_reg(DataPreset("urmp", (DatasetEntry("urmp", eval_program_vocab="gm_instr_class"),)))
+_reg(DataPreset("urmp", (DatasetEntry("urmp", eval_program_vocab="urmp_instr"),)))
 _reg(DataPreset("rwc_pop", (DatasetEntry("rwc_pop", eval_program_vocab="gm_instr_class"),)))
 _reg(DataPreset("mir1k", (DatasetEntry("mir1k", eval_program_vocab="singing_solo"),),
                 default_task="singing_v1"))

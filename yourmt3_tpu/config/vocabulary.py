@@ -209,6 +209,50 @@ DRUMS_ONLY = InstrumentVocabulary(
     has_drums=True,
 )
 
+# --- Dataset-specific eval groupings (SURVEY.md C27) ------------------------
+# URMP: 13 classical instruments, each its own eval class — the
+# multi-instrument-transcription leaderboard the reference tracks
+# (`/root/reference/README.md:1` badge) scores per-instrument F1.
+URMP_INSTR = InstrumentVocabulary(
+    name="urmp_instr",
+    classes=(
+        InstrumentClass("Violin", (40,)),
+        InstrumentClass("Viola", (41,)),
+        InstrumentClass("Cello", (42,)),
+        InstrumentClass("Double Bass", (43,)),
+        InstrumentClass("Flute", (72, 73, 74, 75)),
+        InstrumentClass("Oboe", (68, 69)),
+        InstrumentClass("Clarinet", (71,)),
+        InstrumentClass("Bassoon", (70,)),
+        InstrumentClass("Saxophone", (64, 65, 66, 67)),
+        InstrumentClass("Trumpet", (56, 59)),
+        InstrumentClass("Horn", (60,)),
+        InstrumentClass("Trombone", (57,)),
+        InstrumentClass("Tuba", (58,)),
+    ),
+    has_drums=False,
+)
+
+# MusicNet: chamber-music instruments (piano + strings + winds); per-
+# instrument classes reconstructed from the dataset's GM annotation
+# ([recon] — reference `config/vocabulary.py` MUSICNET grouping).
+MUSICNET_INSTR = InstrumentVocabulary(
+    name="musicnet_instr",
+    classes=(
+        InstrumentClass("Piano", _rng(0, 7)),  # incl. harpsichord (6)
+        InstrumentClass("Violin", (40,)),
+        InstrumentClass("Viola", (41,)),
+        InstrumentClass("Cello", (42,)),
+        InstrumentClass("Contrabass", (43,)),
+        InstrumentClass("Horn", (60,)),
+        InstrumentClass("Oboe", (68, 69)),
+        InstrumentClass("Bassoon", (70,)),
+        InstrumentClass("Clarinet", (71,)),
+        InstrumentClass("Flute", (72, 73, 74, 75)),
+    ),
+    has_drums=False,
+)
+
 PROGRAM_VOCABULARIES: Dict[str, InstrumentVocabulary] = {
     v.name: v
     for v in (
@@ -221,6 +265,8 @@ PROGRAM_VOCABULARIES: Dict[str, InstrumentVocabulary] = {
         SINGING_SOLO,
         BASS_SOLO,
         DRUMS_ONLY,
+        URMP_INSTR,
+        MUSICNET_INSTR,
     )
 }
 
