@@ -99,9 +99,53 @@ def bench_config(model_preset, task, batch, max_length=None, n_iters=3):
     }
 
 
+def bench_transcribe_path(ckpt: str, song_seconds: float = 120.0,
+                          batch_size: int = 16, early_exit: bool = True):
+    """Time the PUBLIC API path end-to-end — frontend→encode→decode→
+    on-device detok prep→host merge — on a synthetic song, with a TRAINED
+    checkpoint so EOS early-exit is realistic (the worst-case numbers
+    elsewhere ban EOS). This is what `api.transcribe` actually delivers."""
+    import numpy as np
+    from yourmt3_tpu.api import load_checkpoint, transcribe_audio_array
+    from yourmt3_tpu.data.preprocess.synth import random_chart, render_notes
+
+    bundle = load_checkpoint(ckpt)
+    sr = bundle.audio_cfg.sample_rate
+    rng = np.random.default_rng(0)
+    chart = random_chart(rng, song_seconds, density=3.0)
+    audio = render_notes(chart, sr, song_seconds, seed=123)
+    # warm (compile)
+    transcribe_audio_array(bundle, audio[: sr * 4], batch_size=batch_size,
+                           early_exit=early_exit)
+    t0 = time.perf_counter()
+    notes, err = transcribe_audio_array(bundle, audio, batch_size=batch_size,
+                                        early_exit=early_exit)
+    dt = time.perf_counter() - t0
+    return {
+        "config": f"transcribe_path[{bundle.cfg.name},B={batch_size},"
+                  f"early_exit={early_exit}]",
+        "audio_s_per_s_per_chip": round(song_seconds / dt, 3),
+        "vs_baseline": round(song_seconds / dt / TARGET, 4),
+        "notes": len(notes), "decode_errors": err.total(),
+        "worst_case": False,
+    }
+
+
 def main():
     from yourmt3_tpu.utils.jax_setup import setup_jax
     setup_jax()
+
+    ckpt = None
+    early_exit = True
+    for a in sys.argv[1:]:
+        if a.startswith("--transcribe-ckpt="):
+            ckpt = a.split("=", 1)[1]
+        elif a == "--no-early-exit":
+            early_exit = False
+    if ckpt:
+        row = bench_transcribe_path(ckpt, early_exit=early_exit)
+        print(json.dumps(row))
+        return
 
     matrix_mode = "--matrix" in sys.argv
     model_preset = "perceiver_tf_mc13"

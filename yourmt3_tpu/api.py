@@ -92,8 +92,13 @@ def _transcribe_batch(model: YMT3, params, frontend: SpectrogramFrontend,
 def transcribe_audio_array(
     bundle: ModelBundle, audio: np.ndarray, sample_rate: Optional[int] = None,
     batch_size: int = 8, subtask: Optional[str] = None,
+    early_exit: bool = False,
 ) -> Tuple[List[Note], DecodeErrors]:
-    """Full-song mono float32 audio → merged notes."""
+    """Full-song mono float32 audio → merged notes.
+
+    early_exit=True decodes each batch with per-stream retirement
+    (models/decoding.greedy_decode_early_exit) — identical tokens, less
+    wall-clock when segment token lengths vary."""
     ac = bundle.audio_cfg
     if sample_rate is not None and sample_rate != ac.sample_rate:
         from .data.audio_io import resample
@@ -112,8 +117,17 @@ def transcribe_audio_array(
         if pad_n:  # fixed batch shape ⇒ one compiled program
             chunk = np.concatenate(
                 [chunk, np.zeros((pad_n, ac.input_frames), np.float32)])
-        ids = _transcribe_batch(bundle.model, bundle.params, bundle.frontend,
-                                jnp.asarray(chunk), L, prefix_arr)
+        if early_exit:
+            from .models.decoding import greedy_decode_early_exit
+            feats = jax.jit(bundle.frontend)(jnp.asarray(chunk))
+            memory = jax.jit(functools.partial(
+                bundle.model.apply, method=YMT3.encode))(bundle.params, feats)
+            ids = greedy_decode_early_exit(bundle.model, bundle.params,
+                                           memory, L, prefix_ids=prefix_arr)
+        else:
+            ids = _transcribe_batch(bundle.model, bundle.params,
+                                    bundle.frontend, jnp.asarray(chunk), L,
+                                    prefix_arr)
         all_ids.append(np.asarray(ids)[: batch_size - pad_n if pad_n else batch_size])
     seg_ids = np.concatenate(all_ids, axis=0)  # (S, C, L)
     start_times = (starts / ac.sample_rate).tolist()
