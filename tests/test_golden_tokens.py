@@ -1,6 +1,14 @@
 """Golden-token fixtures (SURVEY.md §4.2): frozen expected id sequences
 for a fixed note chart. Guards the codec/serialization against silent
-drift — if one of these changes, every trained checkpoint breaks."""
+drift — if one of these changes, every trained checkpoint breaks.
+
+PROVENANCE: these fixtures are SELF-frozen from this codec's own output
+(layout built to the MT3 event-vocabulary spec), NOT captured from the
+PyTorch reference — the mounted reference snapshot ships no source or
+checkpoints to capture from. They are regression locks; cross-
+implementation token parity additionally needs a real reference
+checkpoint + its tokenizer output, which the importer
+(train/import_torch.py) is ready for when one is obtainable."""
 
 import numpy as np
 
