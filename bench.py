@@ -100,7 +100,11 @@ def bench_config(model_preset, task, batch, max_length=None, n_iters=3):
 
 
 def bench_transcribe_path(ckpt: str, song_seconds: float = 120.0,
-                          batch_size: int = 16, early_exit: bool = True):
+                          batch_size: int = 16, early_exit: bool = False):
+    # early_exit=False default: the plain decode already stops when ALL
+    # streams finish; chunked per-stream compaction only wins when decode
+    # lengths are long AND variable (measured: 71.6 vs 33.7 audio-s/s on
+    # uniformly short ≤65-token segments)
     """Time the PUBLIC API path end-to-end — frontend→encode→decode→
     on-device detok prep→host merge — on a synthetic song, with a TRAINED
     checkpoint so EOS early-exit is realistic (the worst-case numbers
@@ -110,6 +114,9 @@ def bench_transcribe_path(ckpt: str, song_seconds: float = 120.0,
     from yourmt3_tpu.data.preprocess.synth import random_chart, render_notes
 
     bundle = load_checkpoint(ckpt)
+    ov = decode_path_overrides(bundle.task_manager.num_decoding_channels,
+                               bundle.task_manager.max_token_length)
+    bundle = load_checkpoint(ckpt, **ov)
     sr = bundle.audio_cfg.sample_rate
     rng = np.random.default_rng(0)
     chart = random_chart(rng, song_seconds, density=3.0)
@@ -136,12 +143,12 @@ def main():
     setup_jax()
 
     ckpt = None
-    early_exit = True
+    early_exit = False
     for a in sys.argv[1:]:
         if a.startswith("--transcribe-ckpt="):
             ckpt = a.split("=", 1)[1]
-        elif a == "--no-early-exit":
-            early_exit = False
+        elif a == "--early-exit":
+            early_exit = True
     if ckpt:
         row = bench_transcribe_path(ckpt, early_exit=early_exit)
         print(json.dumps(row))

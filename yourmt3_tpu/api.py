@@ -69,13 +69,16 @@ def init_model(model_preset: str = "t5_small", task: str = "mt3_full_plus",
 
 def load_checkpoint(path: str, model_preset: Optional[str] = None,
                     task: Optional[str] = None,
-                    audio_cfg: Optional[AudioConfig] = None) -> ModelBundle:
+                    audio_cfg: Optional[AudioConfig] = None,
+                    **cfg_overrides) -> ModelBundle:
     """Restore a bundle from an Orbax checkpoint directory written by
     yourmt3_tpu.train.checkpoint (metadata carries preset/task names and
-    the FULL audio config; explicit args override the metadata)."""
+    the FULL audio config; explicit args override the metadata).
+    cfg_overrides pass inference-time ModelConfig fields through, e.g.
+    use_pallas_decode=True or kv_quant="int8" decode paths."""
     from .train.checkpoint import restore_bundle
     return restore_bundle(path, model_preset=model_preset, task=task,
-                          audio_cfg=audio_cfg)
+                          audio_cfg=audio_cfg, **cfg_overrides)
 
 
 # ---------------------------------------------------------------------------

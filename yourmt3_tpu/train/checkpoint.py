@@ -14,6 +14,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -44,7 +45,11 @@ def save_bundle(path: str, bundle, step: int = 0,
 
 
 def restore_bundle(path: str, model_preset: Optional[str] = None,
-                   task: Optional[str] = None, audio_cfg=None):
+                   task: Optional[str] = None, audio_cfg=None,
+                   **cfg_overrides):
+    """cfg_overrides: inference-time ModelConfig fields (e.g.
+    use_pallas_decode / kv_quant decode paths) — they never change the
+    param tree, so the restored weights apply unchanged."""
     from ..api import init_model
     from ..config.audio import AudioConfig
     path = os.path.abspath(path)
@@ -58,10 +63,15 @@ def restore_bundle(path: str, model_preset: Optional[str] = None,
     if audio_cfg is None:
         a = meta.get("audio", {})
         audio_cfg = AudioConfig(**a) if a else AudioConfig()
-    bundle = init_model(preset, task, audio_cfg)
+    bundle = init_model(preset, task, audio_cfg, **cfg_overrides)
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree_util.tree_map(np.asarray, bundle.params)
-    bundle.params = ckptr.restore(os.path.join(path, "params"), target)
+    restored = ckptr.restore(os.path.join(path, "params"), target)
+    # device-resident params: orbax hands back host numpy arrays, and a
+    # numpy param tree is re-uploaded host→device on EVERY jitted call
+    # (measured ~0.5 s/call for a 15 M-param model on this host — it
+    # silently dominated the transcribe path)
+    bundle.params = jax.tree_util.tree_map(jnp.asarray, restored)
     return bundle
 
 
