@@ -14,11 +14,12 @@ for one 2.048 s segment batch (B=1) through the same jitted path.
 (t5_small, t5_base B=64, drums, flagship) and writes BENCH_MATRIX.json.
 
 Decode-path selection (measured on v5e-1, worst-case floors):
-  - multi-channel short decode (mc13, L=256/ch): int8 KV dense — 53.6 vs
-    34.3 bf16-dense / 35.2 paged
-  - single-channel long decode (L=1024): paged Pallas kernel — 58.7 vs
-    36.4 bf16-dense / 30.8 int8 (reads ∝ pos dominate; few streams make
-    int8's per-step quantize overhead visible)
+  - multi-channel short decode (mc13, L=256/ch): int8 KV dense — 52.9 vs
+    34.3 bf16-dense / 35.2 bf16-paged / 43.9 int8-paged (the kernel's
+    sustained bandwidth loses to XLA's fusions at many short streams)
+  - single-channel long decode (L=1024): int8 PAGED kernel (∝pos reads
+    at half the bytes) — t5_small 84.8 vs 58.5 bf16-paged / 36.4
+    bf16-dense; t5_base B=64: 32.8 vs 21.2 bf16-paged
 """
 
 import json
@@ -34,7 +35,7 @@ def decode_path_overrides(num_channels: int, max_len: int) -> dict:
     """Fastest measured decode path per shape (see module docstring)."""
     if num_channels > 1 or max_len < 512:
         return {"kv_quant": "int8"}
-    return {"use_pallas_decode": True}
+    return {"kv_quant": "int8", "use_pallas_decode": True}
 
 
 def build(model_preset, task, overrides):

@@ -65,6 +65,37 @@ class TestModelInt8Decode:
             assert err < 2e-1, (pos, err)
             tok = jnp.argmax(log_d, -1)[:, None].astype(jnp.int32)
 
+    def test_int8_paged_decode_matches_dense(self):
+        """kv_quant=int8 + use_pallas_decode: int8 PAGED self-attention
+        (∝pos kernel reads at half the bytes) must track the bf16 dense
+        path."""
+        from yourmt3_tpu.config.model import T5_TINY
+        from yourmt3_tpu.models.ymt3 import YMT3
+        cfg_d = T5_TINY.replace(vocab_size=600, d_kv=16, num_heads=4)
+        cfg_q = cfg_d.replace(kv_quant="int8", use_pallas_decode=True)
+        model_d, model_q = YMT3(cfg_d), YMT3(cfg_q)
+        feats = jnp.asarray(
+            np.random.default_rng(4).standard_normal((2, 16, 24)), jnp.float32)
+        params = model_d.init(jax.random.PRNGKey(0), feats,
+                              jnp.zeros((2, 1, 8), jnp.int32))
+        mem = model_d.apply(params, feats, method=YMT3.encode)
+        cross_d = model_d.apply(params, mem, method=YMT3.init_cross_kv)
+        cross_q = model_q.apply(params, mem, method=YMT3.init_cross_kv)
+        kv_d = model_d.empty_self_kvs(2, 128)
+        kv_q = model_q.empty_self_kvs(2, 128)
+        # paged int8 cache structure: ((values, scales), (values, scales))
+        assert kv_q[0][0][0].dtype == jnp.int8
+        assert kv_q[0][0][0].ndim == 5 and kv_q[0][0][1].ndim == 4
+        tok = jnp.asarray([[42], [7]], jnp.int32)
+        for pos in range(4):
+            log_d, kv_d = model_d.apply(params, tok, jnp.asarray(pos),
+                                        kv_d, cross_d, method=YMT3.decode_step)
+            log_q, kv_q = model_q.apply(params, tok, jnp.asarray(pos),
+                                        kv_q, cross_q, method=YMT3.decode_step)
+            err = float(jnp.max(jnp.abs(log_d - log_q)))
+            assert err < 2e-1, (pos, err)
+            tok = jnp.argmax(log_d, -1)[:, None].astype(jnp.int32)
+
     def test_greedy_decode_runs_and_matches_shape(self):
         from yourmt3_tpu.config.model import T5_TINY
         from yourmt3_tpu.models.decoding import greedy_decode

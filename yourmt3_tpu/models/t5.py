@@ -139,7 +139,31 @@ class T5DecoderLayer(nn.Module):
         k_step = self.self_attn._split(self.self_attn.k(h))
         v_step = self.self_attn._split(self.self_attn.v(h))
         ck, cv = self_kv
-        if self.cfg.kv_quant == "int8":
+        if self.cfg.kv_quant == "int8" and self.cfg.use_pallas_decode:
+            # int8 PAGED self-attention: combines the paged kernel's
+            # ∝pos reads with int8's halved bytes. Cache entries are
+            # ((values (NB,S,H,block,dk) int8, scales (S,NB,H,block)),…)
+            from ..ops.kv_quant import quantize_kv
+            from ..ops.pallas.decode_attention import (
+                paged_cache_update, paged_decode_attention,
+                paged_scale_update, pick_streams_per_tile)
+            (kq, ksc), (vq, vsc) = ck, cv
+            kq_s, ks_s = quantize_kv(k_step)
+            vq_s, vs_s = quantize_kv(v_step)
+            kq = paged_cache_update(kq, kq_s, pos)
+            ksc = paged_scale_update(ksc, ks_s, pos)  # (S, H, 1) scales
+            vq = paged_cache_update(vq, vq_s, pos)
+            vsc = paged_scale_update(vsc, vs_s, pos)
+            S, H, _, dk = q.shape
+            block = kq.shape[3]
+            sp = pick_streams_per_tile(S, H, dk, block)
+            att = paged_decode_attention(
+                q, kq, vq, pos, rel_table=step_bias[1],
+                rel_max_distance=self.cfg.rel_attn_max_distance,
+                block=block, streams_per_tile=sp,
+                k_scale=ksc, v_scale=vsc)
+            ck, cv = (kq, ksc), (vq, vsc)
+        elif self.cfg.kv_quant == "int8":
             # int8 cache: ck = (k int8 (S,H,L,dk), scales f32 (S,H,L)).
             # Quantize this step's row, write value+scale in place, attend
             # with dequant fused into the einsums (ops/kv_quant.py).

@@ -78,6 +78,19 @@ class YMT3(nn.Module):
     def empty_self_kvs(self, batch_streams: int, max_len: int) -> List[KV]:
         c = self.cfg
         dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        if c.kv_quant == "int8" and c.use_pallas_decode:
+            # int8 PAGED caches: ((values pages int8, scale pages fp32), …)
+            # — ∝pos kernel reads at half the bytes
+            from ..ops.pallas.decode_attention import (empty_paged_cache,
+                                                       empty_paged_scales)
+            block = 64 if max_len <= 256 else 128
+            padded = -(-max_len // block) * block
+            def pair():
+                return (empty_paged_cache(batch_streams, c.num_heads, c.d_kv,
+                                          padded, block, jnp.int8),
+                        empty_paged_scales(batch_streams, c.num_heads,
+                                           padded, block))
+            return [(pair(), pair()) for _ in range(c.num_decoder_layers)]
         if c.kv_quant == "int8":
             # (values int8, per-position fp32 scales); zero scales make
             # unwritten positions contribute 0 logits (masked anyway)

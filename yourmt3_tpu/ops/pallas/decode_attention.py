@@ -46,11 +46,15 @@ NEG_INF = -1e30
 def _kernel(pos_ref,  # scalar prefetch: (1,) int32
             q_ref,  # (sp, H, dk) VMEM
             bias_ref,  # (sp·H, L) pre-tiled bias OR (buckets, H_pad) table
-            k_ref, v_ref,  # (1, sp, H, dk, block) VMEM — this page
-            out_ref,  # (sp, H, dk) VMEM
-            m_ref, l_ref, acc_ref,  # persistent scratch
-            *, block: int, rel_buckets: int = 0, rel_max_distance: int = 128,
-            has_bias: bool = True, causal: bool = True):
+            k_ref, v_ref,  # (1, sp, H, block, dk) VMEM — this page
+            *rest,  # [ks_ref, vs_ref] when quantized, then outputs/scratch
+            block: int, rel_buckets: int = 0, rel_max_distance: int = 128,
+            has_bias: bool = True, causal: bool = True,
+            quantized: bool = False):
+    if quantized:
+        ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        out_ref, m_ref, l_ref, acc_ref = rest
     pos = pos_ref[0]
     b = pl.program_id(1)
     nb = pl.num_programs(1)
@@ -73,6 +77,10 @@ def _kernel(pos_ref,  # scalar prefetch: (1,) int32
             q[:, None, :], k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)[:, 0, :]
+        if quantized:
+            # int8 pages: per-position fp32 row scales fold into the
+            # logits (K) and the softmax weights (V) — exact algebra
+            logits = logits * ks_ref[:, 0].reshape(G, block)
         j = b * block + jax.lax.broadcasted_iota(jnp.int32, (1, block), 1)
         if not has_bias:
             pass  # cross-attention: no positional bias
@@ -111,6 +119,8 @@ def _kernel(pos_ref,  # scalar prefetch: (1,) int32
         p = jnp.exp(logits - m_new)
         scale = jnp.exp(m - m_new)
         l_ref[:] = l_ref[:] * scale + jnp.sum(p, axis=1, keepdims=True)
+        if quantized:
+            p = p * vs_ref[:, 0].reshape(G, block)
         pv = jax.lax.dot_general(
             p[:, None, :], v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -135,6 +145,8 @@ def paged_decode_attention(
     interpret: Optional[bool] = None,  # default: interpret off-TPU (tests)
     rel_table: Optional[jnp.ndarray] = None,  # (buckets, H) T5 bias table
     rel_max_distance: int = 128,
+    k_scale: Optional[jnp.ndarray] = None,  # (S,NB,H,block) fp32 — int8 pages
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """→ attention output with q's leading shape ((S, H, dk) or (S,H,1,dk)).
 
@@ -186,20 +198,32 @@ def paged_decode_attention(
         # DMA when the block index repeats, so dead pages cost nothing
         return jnp.minimum(b, pos_ref[0] // block)
 
+    quantized = k_scale is not None
+    page_spec = pl.BlockSpec((1, sp, H, block, dk),
+                             lambda i, b, p: (page_idx(i, b, p), i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((sp, H, dk), lambda i, b, p: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        bias_spec,
+        page_spec,
+        page_spec,
+    ]
+    operands = [jnp.asarray([pos], jnp.int32).reshape(1), q, bias_in,
+                k_cache, v_cache]
+    if quantized:
+        # scale pages are STREAM-major (S, NB, H, block) so every cache
+        # tensor keeps its stream axis where the beam-reorder/compaction
+        # gathers expect it (axis 0 for 4-D, axis 1 for 5-D)
+        scale_spec = pl.BlockSpec(
+            (sp, 1, H, block), lambda i, b, p: (i, page_idx(i, b, p), 0, 0),
+            memory_space=pltpu.VMEM)
+        in_specs += [scale_spec, scale_spec]
+        operands += [k_scale, v_scale]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S // sp, NB),
-        in_specs=[
-            pl.BlockSpec((sp, H, dk), lambda i, b, p: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            bias_spec,
-            pl.BlockSpec((1, sp, H, block, dk),
-                         lambda i, b, p: (page_idx(i, b, p), i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, H, block, dk),
-                         lambda i, b, p: (page_idx(i, b, p), i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((sp, H, dk), lambda i, b, p: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -211,12 +235,11 @@ def paged_decode_attention(
     out = pl.pallas_call(
         functools.partial(_kernel, block=block, rel_buckets=rel_buckets,
                           rel_max_distance=rel_max_distance,
-                          has_bias=has_bias),
+                          has_bias=has_bias, quantized=quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((S, H, dk), q.dtype),
         interpret=interpret,
-    )(jnp.asarray([pos], jnp.int32).reshape(1), q, bias_in,
-      k_cache, v_cache)
+    )(*operands)
     return out[:, :, None, :] if squeeze else out
 
 
@@ -289,6 +312,22 @@ def paged_cache_update(cache: jnp.ndarray, step_kv: jnp.ndarray,
     upd = step_kv[None]  # (1, S, H, 1, dk)
     return jax.lax.dynamic_update_slice(cache, upd.astype(cache.dtype),
                                         (page, 0, 0, off, 0))
+
+
+def empty_paged_scales(streams: int, heads: int, max_len: int,
+                       block: int = 128) -> jnp.ndarray:
+    """fp32 row-scale pages for int8 caches, STREAM-major (see kernel)."""
+    assert max_len % block == 0
+    return jnp.zeros((streams, max_len // block, heads, block), jnp.float32)
+
+
+def paged_scale_update(scales: jnp.ndarray, step_scale: jnp.ndarray,
+                       pos: jnp.ndarray) -> jnp.ndarray:
+    """Write one step's (S, H, 1) fp32 scales into (S, NB, H, block)."""
+    block = scales.shape[3]
+    page, off = pos // block, pos % block
+    upd = step_scale[:, None]  # (S, 1, H, 1)
+    return jax.lax.dynamic_update_slice(scales, upd, (0, page, 0, off))
 
 
 def paged_to_dense(cache: jnp.ndarray) -> jnp.ndarray:
