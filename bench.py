@@ -32,10 +32,10 @@ TARGET = 50.0  # audio-seconds/sec/chip (BASELINE.md)
 
 
 def decode_path_overrides(num_channels: int, max_len: int) -> dict:
-    """Fastest measured decode path per shape (see module docstring)."""
-    if num_channels > 1 or max_len < 512:
-        return {"kv_quant": "int8"}
-    return {"kv_quant": "int8", "use_pallas_decode": True}
+    """Fastest measured decode path per shape (see module docstring;
+    shared with the user-facing CLIs via the library)."""
+    from yourmt3_tpu.api import fast_decode_overrides
+    return fast_decode_overrides(num_channels, max_len)
 
 
 def build(model_preset, task, overrides):

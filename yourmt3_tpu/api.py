@@ -49,6 +49,17 @@ class ModelBundle:
         return self.model.cfg
 
 
+def fast_decode_overrides(num_channels: int, max_len: int) -> dict:
+    """Fastest measured decode path per shape (v5e-1, EVIDENCE.md):
+    multi-channel short decodes → int8 dense KV; single-channel long
+    decodes → int8 paged kernel (reads ∝ pos at half the bytes). int8
+    costs ≤0.7 onset-F1 points measured; use kv_quant="none" paths for
+    exact parity."""
+    if num_channels > 1 or max_len < 512:
+        return {"kv_quant": "int8"}
+    return {"kv_quant": "int8", "use_pallas_decode": True}
+
+
 def init_model(model_preset: str = "t5_small", task: str = "mt3_full_plus",
                audio_cfg: AudioConfig = DEFAULT_AUDIO, seed: int = 0,
                **cfg_overrides) -> ModelBundle:
