@@ -117,7 +117,10 @@ def bench_transcribe_path(ckpt: str, song_seconds: float = 120.0,
     bundle = load_checkpoint(ckpt)
     ov = decode_path_overrides(bundle.task_manager.num_decoding_channels,
                                bundle.task_manager.max_token_length)
-    bundle = load_checkpoint(ckpt, **ov)
+    # decode-path overrides never change the param tree: rebuild only the
+    # model object instead of restoring twice (ADVICE r2)
+    from yourmt3_tpu.models.ymt3 import YMT3
+    bundle.model = YMT3(bundle.cfg.replace(**ov))
     sr = bundle.audio_cfg.sample_rate
     rng = np.random.default_rng(0)
     chart = random_chart(rng, song_seconds, density=3.0)
@@ -177,6 +180,8 @@ def main():
             bench_config("t5_base", "mt3_full_plus", 64),
             # BASELINE config 4: drum-vocab decode path
             bench_config("t5_small", "drums_only", 16),
+            # MoE-FF flagship variant (YourMT3+ named feature, SURVEY C22)
+            bench_config("perceiver_tf_mc13_moe", "mc13_full_plus_256", 16),
             # BASELINE config 3 (flagship/headline)
             bench_config("perceiver_tf_mc13", "mc13_full_plus_256", 16),
         ]

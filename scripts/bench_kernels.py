@@ -88,10 +88,13 @@ def main():
         empty_paged_cache, paged_decode_attention)
     for block, sp in ((128, 8), (128, 26), (64, 26), (256, 16)):
         NB = L // block
-        kc = jnp.zeros((NB, S, H, dk, block), jnp.bfloat16) + bf16(
-            NB, S, H, dk, block)
-        vc = jnp.zeros((NB, S, H, dk, block), jnp.bfloat16) + bf16(
-            NB, S, H, dk, block)
+        # position-major paged layout (NB, S, H, block, dk) — must match
+        # paged_decode_attention (a retired dk-major alloc here silently
+        # benchmarked transposed pages; ADVICE r2)
+        kc = jnp.zeros((NB, S, H, block, dk), jnp.bfloat16) + bf16(
+            NB, S, H, block, dk)
+        vc = jnp.zeros((NB, S, H, block, dk), jnp.bfloat16) + bf16(
+            NB, S, H, block, dk)
         table = jnp.asarray(rng.standard_normal((32, H)), jnp.float32)
         for posv in (63, 255):
             pk = functools.partial(

@@ -1,0 +1,28 @@
+"""Generate the synthmc corpus: multi-instrument synthetic tracks with
+timbre-distinct programs across 6 MC12 classes + drums.
+
+Usage: python scripts/gen_synthmc.py [n_train] [root]
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+from yourmt3_tpu.data.preprocess.synth import build_synth_dataset
+
+PROGRAMS = (0, 24, 32, 40, 56, 64)  # piano guitar bass strings brass reed
+
+n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+root = sys.argv[2] if len(sys.argv) > 2 else "/root/ymt3_data"
+
+t0 = time.time()
+build_synth_dataset(root, n_tracks=n_train, duration=8.0,
+                    splits=("train",), programs=PROGRAMS, seed=30,
+                    dataset_name="synthmc")
+print(f"train done {time.time()-t0:.0f}s", flush=True)
+build_synth_dataset(root, n_tracks=32, duration=8.0,
+                    splits=("validation",), programs=PROGRAMS, seed=31,
+                    dataset_name="synthmc")
+build_synth_dataset(root, n_tracks=32, duration=8.0,
+                    splits=("test",), programs=PROGRAMS, seed=32,
+                    dataset_name="synthmc")
+print(f"all done {time.time()-t0:.0f}s", flush=True)

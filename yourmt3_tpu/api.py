@@ -103,21 +103,27 @@ def _transcribe_batch(model: YMT3, params, frontend: SpectrogramFrontend,
     return greedy_decode(model, params, memory, max_length, prefix_ids)
 
 
-def transcribe_audio_array(
-    bundle: ModelBundle, audio: np.ndarray, sample_rate: Optional[int] = None,
+@functools.partial(jax.jit, static_argnames=("model",))
+def _encode_batch(model: YMT3, params, frontend: SpectrogramFrontend,
+                  audio: jnp.ndarray) -> jnp.ndarray:
+    """Module-level jit: one compile per (model, shapes) — NOT per call.
+    (An earlier version built fresh jax.jit wrappers inside the per-batch
+    loop, retracing frontend+encoder every batch; ADVICE r2.)"""
+    feats = frontend(audio)
+    return model.apply(params, feats, method=YMT3.encode)
+
+
+def transcribe_segments_array(
+    bundle: ModelBundle, segments: np.ndarray, start_times: Sequence[float],
     batch_size: int = 8, subtask: Optional[str] = None,
     early_exit: bool = False,
 ) -> Tuple[List[Note], DecodeErrors]:
-    """Full-song mono float32 audio → merged notes.
-
-    early_exit=True decodes each batch with per-stream retirement
-    (models/decoding.greedy_decode_early_exit) — identical tokens, less
-    wall-clock when segment token lengths vary."""
+    """Pre-sliced (S, input_frames) segments + their start times → merged
+    notes. The segments-level entry point: callers with their own slicing
+    (eval datasets, overlapping-window experiments) use this directly
+    instead of flattening back to a 1-D song (which silently assumed
+    contiguous non-overlapping slices)."""
     ac = bundle.audio_cfg
-    if sample_rate is not None and sample_rate != ac.sample_rate:
-        from .data.audio_io import resample
-        audio = resample(audio, sample_rate, ac.sample_rate)
-    segments, starts = slice_padded_array(audio, ac.input_frames)
     S = segments.shape[0]
     tm = bundle.task_manager
     prefix = tm.subtask_prefix_ids(subtask)
@@ -133,9 +139,8 @@ def transcribe_audio_array(
                 [chunk, np.zeros((pad_n, ac.input_frames), np.float32)])
         if early_exit:
             from .models.decoding import greedy_decode_early_exit
-            feats = jax.jit(bundle.frontend)(jnp.asarray(chunk))
-            memory = jax.jit(functools.partial(
-                bundle.model.apply, method=YMT3.encode))(bundle.params, feats)
+            memory = _encode_batch(bundle.model, bundle.params,
+                                   bundle.frontend, jnp.asarray(chunk))
             ids = greedy_decode_early_exit(bundle.model, bundle.params,
                                            memory, L, prefix_ids=prefix_arr)
         else:
@@ -144,8 +149,27 @@ def transcribe_audio_array(
                                     prefix_arr)
         all_ids.append(np.asarray(ids)[: batch_size - pad_n if pad_n else batch_size])
     seg_ids = np.concatenate(all_ids, axis=0)  # (S, C, L)
-    start_times = (starts / ac.sample_rate).tolist()
-    return tm.detokenize_song(seg_ids, start_times)
+    return tm.detokenize_song(seg_ids, list(start_times))
+
+
+def transcribe_audio_array(
+    bundle: ModelBundle, audio: np.ndarray, sample_rate: Optional[int] = None,
+    batch_size: int = 8, subtask: Optional[str] = None,
+    early_exit: bool = False,
+) -> Tuple[List[Note], DecodeErrors]:
+    """Full-song mono float32 audio → merged notes.
+
+    early_exit=True decodes each batch with per-stream retirement
+    (models/decoding.greedy_decode_early_exit) — identical tokens, less
+    wall-clock when segment token lengths vary."""
+    ac = bundle.audio_cfg
+    if sample_rate is not None and sample_rate != ac.sample_rate:
+        from .data.audio_io import resample
+        audio = resample(audio, sample_rate, ac.sample_rate)
+    segments, starts = slice_padded_array(audio, ac.input_frames)
+    return transcribe_segments_array(
+        bundle, segments, (starts / ac.sample_rate).tolist(),
+        batch_size=batch_size, subtask=subtask, early_exit=early_exit)
 
 
 def transcribe(bundle: ModelBundle, audio_path: str,

@@ -93,7 +93,8 @@ def main(argv=None) -> None:
           grad_accum_steps=args.grad_accum,
           spec_augment=not args.no_spec_augment,
           pitch_shift_semitones=shifts or None,
-          n_data_shards=args.n_data_shards, seed=args.seed, logger=logger)
+          n_data_shards=args.n_data_shards, seed=args.seed, logger=logger,
+          resume_from=args.resume)
     print(f"done; checkpoints in {ckpt_dir}")
 
 

@@ -29,9 +29,10 @@ def main(argv=None) -> None:
     p.add_argument("-b", "--batch-size", type=int, default=8)
     p.add_argument("--subtask", default=None)
     p.add_argument("--decode-path", choices=("fast", "exact"),
-                   default="fast",
-                   help="fast = int8/paged KV decode (measured ≤0.7 "
-                        "onset-F1 pts, ~1.5× throughput); exact = bf16")
+                   default="exact",
+                   help="exact = bf16 KV decode (default: bit-faithful "
+                        "outputs); fast = int8/paged KV (measured ≤0.7 "
+                        "onset-F1 pts, ~1.5× throughput)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -54,12 +55,18 @@ def main(argv=None) -> None:
         raise SystemExit("no input files")
 
     if args.checkpoint:
+        # Restore ONCE; kv_quant/use_pallas_decode never change the param
+        # tree, so the fast path only needs a rebuilt model object — a
+        # second restore doubled load time + peak host memory (ADVICE r2).
         bundle = load_checkpoint(args.checkpoint)
         if args.decode_path == "fast":
+            from ..models.ymt3 import YMT3
             ov = fast_decode_overrides(
                 bundle.task_manager.num_decoding_channels,
                 bundle.task_manager.max_token_length)
-            bundle = load_checkpoint(args.checkpoint, **ov)
+            bundle.model = YMT3(bundle.cfg.replace(**ov))
+            print("note: --decode-path fast (int8 KV) is active — outputs "
+                  "can differ from the exact bf16 path by ≤0.7 onset-F1 pts")
     else:
         tm = TaskManager(args.task)
         ov = (fast_decode_overrides(tm.num_decoding_channels,

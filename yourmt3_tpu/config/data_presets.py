@@ -92,6 +92,11 @@ _reg(DataPreset("all_cross_final", (
 _reg(DataPreset("synth_smoke", (DatasetEntry("synth", 1.0),)))
 # larger synthetic corpus for convergence/generalization runs
 _reg(DataPreset("synth_big", (DatasetEntry("synthbig", 1.0),)))
+# multi-instrument synthetic corpus (6 timbre-distinct pitched programs
+# spanning 6 MC12 classes + drums) — the flagship/multi_f1 quality loop
+_reg(DataPreset("synth_mc", (
+    DatasetEntry("synthmc", 1.0, eval_program_vocab="gm_instr_class_mc12"),),
+    default_task="mc13_full_plus_256"))
 
 
 def get_data_preset(name: str) -> DataPreset:

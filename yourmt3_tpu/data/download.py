@@ -54,6 +54,18 @@ def download(url: str, dest: str, sha256: Optional[str] = None,
         req.add_header("Range", f"bytes={start}-")
     try:
         resp = urllib.request.urlopen(req)
+    except urllib.error.HTTPError as e:
+        if start and e.code == 416:
+            # A fully-downloaded .part left behind (death between write
+            # and rename) makes Range: bytes=<size>- unsatisfiable. Treat
+            # the .part as complete — the checksum below still gates it.
+            if sha256 is not None and sha256_file(part) != sha256:
+                os.remove(part)  # truly bad partial: full refetch
+                return download(url, dest, sha256, resume=False,
+                                chunk=chunk, progress=progress)
+            os.replace(part, dest)
+            return dest
+        raise DownloadError(f"cannot fetch {url}: {e}") from e
     except (urllib.error.URLError, ValueError) as e:
         raise DownloadError(f"cannot fetch {url}: {e}") from e
     # server ignored Range (or file://): start over

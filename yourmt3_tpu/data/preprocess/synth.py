@@ -18,6 +18,31 @@ from ..audio_io import write_wav
 from ..indexes import save_notes, write_file_list
 
 
+# Per-GM-program timbre recipes. Multi-instrument F1 is only learnable if
+# programs are acoustically DISTINCT — an earlier renderer gave every
+# pitched program the identical (1, .5, .25) harmonic stack, so class
+# identity was unobservable and the multi-channel decoder could not
+# attribute notes to channels. Each recipe: harmonic amplitude profile,
+# attack time, sustain decay rate, and vibrato (rate Hz, depth semitones).
+# Registers (pitch ranges) also differ per program — see PROGRAM_RANGES.
+PROGRAM_TIMBRES = {
+    # program: (harmonic amps, attack_s, decay_per_s, vibrato)
+    0:  ((1.0, 0.6, 0.35, 0.2, 0.1), 0.005, 1.2, None),        # piano: rich, percussive decay
+    24: ((1.0, 0.45, 0.2, 0.08), 0.003, 2.5, None),            # guitar: pluck, fast decay
+    32: ((1.0, 0.25, 0.06), 0.008, 0.9, None),                 # bass: fundamental-heavy
+    40: ((1.0, 0.7, 0.55, 0.4, 0.3, 0.2), 0.08, 0.1, (5.5, 0.25)),  # strings: slow bow, vibrato
+    56: ((0.7, 1.0, 0.9, 0.7, 0.5, 0.3), 0.04, 0.1, None),     # brass: mid-harmonic formant
+    64: ((1.0, 0.15, 0.6, 0.1, 0.4), 0.05, 0.15, (5.0, 0.12)), # reed: odd harmonics, vibrato
+}
+DEFAULT_TIMBRE = ((1.0, 0.5, 0.25), 0.005, 0.35, None)
+
+PROGRAM_RANGES = {  # MIDI pitch register per program
+    0: (40, 88), 24: (45, 78), 32: (28, 52), 40: (55, 93),
+    56: (52, 80), 64: (49, 78),
+}
+DEFAULT_RANGE = (45, 84)
+
+
 def render_notes(notes: Sequence[Note], sr: int, duration: float,
                  seed: int = 0) -> np.ndarray:
     rng = np.random.default_rng(seed)
@@ -42,20 +67,27 @@ def render_notes(notes: Sequence[Note], sr: int, duration: float,
                 continue
             f0 = 440.0 * 2 ** ((note.pitch - 69) / 12)
             seg_t = t_all[: i1 - i0]
+            harm, attack, decay, vib = PROGRAM_TIMBRES.get(
+                note.program, DEFAULT_TIMBRE)
             # Envelope design: offsets must be OBSERVABLE in the audio for
             # offset-F1 to be learnable. An earlier exp(-1.5·t) decay left
             # long notes near-silent well before their labeled offset
             # (offset-F1 cliff: 0.109 vs onset 0.392 zero-shot, round 1);
-            # now: fast attack → gentle sustain decay → sharp 30 ms release
-            # ending exactly at the offset.
-            env = np.minimum(1.0, seg_t * 200) * np.exp(-seg_t * 0.35)
+            # now: attack ramp → per-program sustain decay → sharp 30 ms
+            # release ending exactly at the offset.
+            env = np.minimum(1.0, seg_t / max(attack, 1e-4)) * np.exp(-seg_t * decay)
             rel = min(int(0.03 * sr), i1 - i0)
             if rel > 0:
                 env[-rel:] = env[-rel:] * np.linspace(1.0, 0.0, rel)
+            phase = 2 * np.pi * f0 * seg_t
+            if vib is not None:
+                rate, depth_semi = vib
+                depth = f0 * (2 ** (depth_semi / 12) - 1.0)
+                phase = phase + (depth / rate) * np.sin(2 * np.pi * rate * seg_t)
             wave = np.zeros_like(seg_t)
-            for h, amp in ((1, 1.0), (2, 0.5), (3, 0.25)):
+            for h, amp in enumerate(harm, start=1):
                 if f0 * h < sr / 2:
-                    wave += amp * np.sin(2 * np.pi * f0 * h * seg_t)
+                    wave += amp * np.sin(phase * h)
             out[i0:i1] += (note.velocity / 127.0) * 0.2 * env * wave
     peak = np.abs(out).max()
     if peak > 1.0:
@@ -74,9 +106,11 @@ def random_chart(rng: np.random.Generator, duration: float,
             notes.append(Note(True, 128, onset, onset + 0.01,
                               int(rng.choice([36, 38, 42])), 100))
         else:
-            notes.append(Note(False, int(rng.choice(programs)), onset,
+            prog = int(rng.choice(programs))
+            lo, hi = PROGRAM_RANGES.get(prog, DEFAULT_RANGE)
+            notes.append(Note(False, prog, onset,
                               onset + float(rng.uniform(0.15, 1.2)),
-                              int(rng.integers(45, 84)), int(rng.integers(60, 110))))
+                              int(rng.integers(lo, hi)), int(rng.integers(60, 110))))
     from ...tokens.note2event import mix_notes
     return mix_notes([notes])
 

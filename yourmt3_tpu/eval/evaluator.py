@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-from ..api import ModelBundle, transcribe_audio_array
+from ..api import ModelBundle, transcribe_segments_array
 from ..config.vocabulary import (DRUM_VOCABULARIES, PROGRAM_VOCABULARIES,
                                  DrumVocabulary, InstrumentVocabulary)
 from ..data.dataset_eval import AudioFileDataset
@@ -44,16 +44,18 @@ def evaluate_file_dataset(
     metrics = AMTMetrics(pv, dv)
     total_err = 0
     for track_id, segments, start_times, ref_notes in dataset:
-        # reuse the batched full-song path on the pre-sliced segments
-        audio_flat = segments.reshape(-1)[: segments.shape[0] * bundle.audio_cfg.input_frames]
         if mesh is not None:
             from ..parallel.chunk_stream import transcribe_song_chunk_parallel
+            audio_flat = segments.reshape(-1)[: segments.shape[0] * bundle.audio_cfg.input_frames]
             est_notes, err = transcribe_song_chunk_parallel(
                 bundle, audio_flat, mesh,
                 segments_per_device=segments_per_device, subtask=subtask)
         else:
-            est_notes, err = transcribe_audio_array(
-                bundle, audio_flat, batch_size=batch_size, subtask=subtask)
+            # segments-level path: respects the dataset's own slicing
+            # (no flatten→re-slice round trip assuming contiguity)
+            est_notes, err = transcribe_segments_array(
+                bundle, segments, start_times,
+                batch_size=batch_size, subtask=subtask)
         total_err += err.total()
         ref = bundle.task_manager.remap_notes(ref_notes)
         s = metrics.update(ref, est_notes)

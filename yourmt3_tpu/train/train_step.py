@@ -36,7 +36,7 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 def make_train_step(model: YMT3, frontend: SpectrogramFrontend,
                     tx: optax.GradientTransformation,
                     augment_fn=None, label_smoothing: float = 0.0,
-                    pitch_shift_semitones=None):
+                    pitch_shift_semitones=None, grad_clip: float = 1.0):
     """→ train_step(state, batch, rng) -> (state, metrics).
 
     batch: {"audio": (B, input_frames) f32, "labels": (B, C, L) i32,
@@ -68,8 +68,13 @@ def make_train_step(model: YMT3, frontend: SpectrogramFrontend,
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
+        # post-clip norm: the optimizer chain clips by global norm, so the
+        # applied-gradient norm is min(gnorm, clip) — logged so spike
+        # triage can tell "clipped transient" from "diverging updates"
+        gnorm_post = jnp.minimum(gnorm, grad_clip) if grad_clip else gnorm
         return (TrainState(state.step + 1, params, opt_state),
-                {"loss": loss, "accuracy": acc, "grad_norm": gnorm})
+                {"loss": loss, "accuracy": acc, "grad_norm": gnorm,
+                 "grad_norm_postclip": gnorm_post})
 
     return train_step
 

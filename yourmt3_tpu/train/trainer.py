@@ -83,8 +83,14 @@ def train(
     logger: Optional[MetricLogger] = None,
     eval_fn=None,
     eval_every: int = 0,
+    resume_from: Optional[str] = None,
 ) -> ModelBundle:
-    """Run the loop; returns bundle with trained params."""
+    """Run the loop; returns bundle with trained params.
+
+    resume_from: checkpoint dir — restores optimizer state AND the step
+    counter, so the LR schedule continues where the prior run stopped
+    (params are assumed already restored into `bundle` by the caller;
+    SURVEY.md §5.4 preemption-safe resume)."""
     import math
 
     tx = make_optimizer(optimizer, base_lr, schedule, warmup_steps, total_steps,
@@ -93,6 +99,21 @@ def train(
     step_fn = make_train_step(bundle.model, bundle.frontend, tx, augment_fn=aug,
                               pitch_shift_semitones=pitch_shift_semitones)
     state = create_train_state(bundle.params, tx)
+    start_step = 0
+    if resume_from:
+        from .checkpoint import META_NAME, restore_opt_state
+        meta_path = os.path.join(os.path.abspath(resume_from), META_NAME)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                start_step = int(json.load(f).get("step", 0))
+        if os.path.isdir(os.path.join(os.path.abspath(resume_from), "opt_state")):
+            import jax.numpy as jnp
+            host_target = jax.tree_util.tree_map(np.asarray, state.opt_state)
+            opt = restore_opt_state(resume_from, host_target)
+            state = state._replace(
+                opt_state=jax.tree_util.tree_map(jnp.asarray, opt),
+                step=jnp.asarray(start_step, jnp.int32))
+        print(f"resuming at step {start_step} from {resume_from}")
     if n_data_shards is None:
         # auto: largest device count that divides the batch size
         first = next(batch_iter)
@@ -112,7 +133,7 @@ def train(
     tokens_seen = 0
     with mesh:
         state = replicate(mesh, state)
-        for step in range(1, total_steps + 1):
+        for step in range(start_step + 1, total_steps + 1):
             if guard.preempted:
                 print(f"preemption at step {step}: writing final checkpoint")
                 bundle.params = jax.device_get(state.params)
@@ -127,7 +148,7 @@ def train(
             if step % log_every == 0 or step == total_steps:
                 m = {k_: float(v) for k_, v in metrics.items()}
                 dt = time.perf_counter() - t0
-                m["steps_per_sec"] = step / dt
+                m["steps_per_sec"] = (step - start_step) / dt
                 m["target_tokens_per_sec"] = tokens_seen / dt
                 logger.log(step, m)
                 print(f"step {step}: loss={m['loss']:.4f} acc={m['accuracy']:.4f} "
