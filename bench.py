@@ -142,18 +142,75 @@ def bench_transcribe_path(ckpt: str, song_seconds: float = 120.0,
     }
 
 
+def bench_early_exit_regime(ckpt: str, batch_size: int = 16):
+    """The workload early-exit claims to win on: LONG + VARIABLE decode
+    lengths in the same batch. Most segments are sparse (EOS after tens of
+    tokens); a minority are ultra-dense (hundreds of tokens). Plain decode
+    runs every stream in a batch to the batch max; early-exit retires
+    finished streams between chunks. Measures both on the PUBLIC api path
+    (VERDICT r2 item 4)."""
+    import numpy as np
+    from yourmt3_tpu.api import load_checkpoint, transcribe_audio_array
+    from yourmt3_tpu.data.preprocess.synth import random_chart, render_notes
+    from yourmt3_tpu.models.ymt3 import YMT3
+
+    bundle = load_checkpoint(ckpt)
+    ov = decode_path_overrides(bundle.task_manager.num_decoding_channels,
+                               bundle.task_manager.max_token_length)
+    bundle.model = YMT3(bundle.cfg.replace(**ov))
+    sr = bundle.audio_cfg.sample_rate
+    seg_s = bundle.audio_cfg.segment_seconds
+    rng = np.random.default_rng(0)
+    # 32 segments: 3/4 sparse (density 1.5 notes/s), 1/4 ultra-dense (40/s)
+    n_seg = 32
+    song_seconds = n_seg * seg_s
+    pieces = []
+    for i in range(n_seg):
+        dens = 40.0 if i % 4 == 0 else 1.5
+        chart = random_chart(rng, seg_s, density=dens)
+        pieces.append(render_notes(chart, sr, seg_s, seed=100 + i))
+    audio = np.concatenate(pieces)[: int(song_seconds * sr)]
+
+    rows = []
+    for early in (False, True):
+        transcribe_audio_array(bundle, audio[: sr * 4],
+                               batch_size=batch_size, early_exit=early)  # warm
+        t0 = time.perf_counter()
+        notes, err = transcribe_audio_array(bundle, audio,
+                                            batch_size=batch_size,
+                                            early_exit=early)
+        dt = time.perf_counter() - t0
+        rows.append({
+            "config": f"early_exit_regime[{bundle.cfg.name},B={batch_size},"
+                      f"early_exit={early}]",
+            "audio_s_per_s_per_chip": round(song_seconds / dt, 3),
+            "vs_baseline": round(song_seconds / dt / TARGET, 4),
+            "notes": len(notes), "decode_errors": err.total(),
+            "worst_case": False,
+        })
+        print(json.dumps(rows[-1]), file=sys.stderr)
+    return rows
+
+
 def main():
     from yourmt3_tpu.utils.jax_setup import setup_jax
     setup_jax()
 
     ckpt = None
     early_exit = False
+    regime = False
     for a in sys.argv[1:]:
         if a.startswith("--transcribe-ckpt="):
             ckpt = a.split("=", 1)[1]
         elif a == "--early-exit":
             early_exit = True
+        elif a == "--early-exit-regime":
+            regime = True
     if ckpt:
+        if regime:
+            rows = bench_early_exit_regime(ckpt)
+            print(json.dumps(rows))
+            return
         row = bench_transcribe_path(ckpt, early_exit=early_exit)
         print(json.dumps(row))
         return

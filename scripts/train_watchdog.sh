@@ -9,15 +9,22 @@ set -u
 RUN="$1"; LOG="$2"; PIDF="$3"; shift 3
 [ "$1" = "--" ] && shift
 
+LAUNCH_TS=0
+
 launch() {
   local resume=""
   [ -d "$RUN/last/params" ] && resume="--resume $RUN/last"
   nohup python -u -m yourmt3_tpu.cli.train "$@" $resume >> "$LOG" 2>&1 &
   echo $! > "$PIDF"
+  LAUNCH_TS=$(date +%s)
   echo "$(date) watchdog: launched pid $(cat $PIDF) resume='$resume'" >> /tmp/watchdog.log
 }
 
-[ -f "$PIDF" ] && kill -0 "$(cat $PIDF)" 2>/dev/null || launch "$@"
+if [ -f "$PIDF" ] && kill -0 "$(cat $PIDF)" 2>/dev/null; then
+  LAUNCH_TS=$(stat -c %Y "/proc/$(cat $PIDF)" 2>/dev/null || date +%s)
+else
+  launch "$@"
+fi
 
 while [ ! -f /tmp/stop_watchdog ]; do
   PID=$(cat "$PIDF" 2>/dev/null)
@@ -33,8 +40,14 @@ while [ ! -f /tmp/stop_watchdog ]; do
   sleep 90
   CPU2=$(awk '{print $14+$15}' "/proc/$PID/stat" 2>/dev/null || echo "")
   AGE=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || echo 0) ))
-  if [ -n "$CPU1" ] && [ -n "$CPU2" ] && [ $((CPU2 - CPU1)) -lt 50 ] && [ "$AGE" -gt 300 ]; then
-    echo "$(date) watchdog: wedged (cpuΔ=$((CPU2-CPU1)) ticks/90s, log age ${AGE}s); restarting" >> /tmp/watchdog.log
+  # During axon compiles the client futex-waits with ~0 host CPU — exactly
+  # the wedge signature — so each launch gets a long startup grace period
+  # (first compile has taken up to ~25 min on this host).
+  SINCE_LAUNCH=$(( $(date +%s) - LAUNCH_TS ))
+  THRESH=300
+  [ "$SINCE_LAUNCH" -lt 2400 ] && THRESH=2100
+  if [ -n "$CPU1" ] && [ -n "$CPU2" ] && [ $((CPU2 - CPU1)) -lt 50 ] && [ "$AGE" -gt "$THRESH" ]; then
+    echo "$(date) watchdog: wedged (cpuΔ=$((CPU2-CPU1)) ticks/90s, log age ${AGE}s, since_launch ${SINCE_LAUNCH}s); restarting" >> /tmp/watchdog.log
     kill "$PID"; sleep 10; kill -9 "$PID" 2>/dev/null; sleep 30
     launch "$@"
   fi

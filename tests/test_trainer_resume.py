@@ -38,6 +38,36 @@ class TestResume:
               __import__("jax").tree_util.tree_leaves(b2.params)]
         assert all(np.allclose(a, b) for a, b in zip(l0, l1))
 
+    def test_resume_restores_opt_state_and_step(self, tmp_path):
+        """resume_from continues the STEP COUNTER and optimizer state, so
+        the LR schedule picks up where the prior run stopped (preemption-
+        safe resume, SURVEY §5.4)."""
+        import jax
+        import jax.numpy as jnp
+        from yourmt3_tpu.api import init_model, load_checkpoint
+        from yourmt3_tpu.train.trainer import MetricLogger, train
+        bundle = init_model("t5_tiny", "mt3_full_plus", audio_cfg=TINY_AUDIO)
+        it = const_batches(bundle.task_manager)
+        d = str(tmp_path / "ck3")
+        train(bundle, it, total_steps=3, log_every=1, ckpt_every=3,
+              ckpt_dir=d, spec_augment=False, warmup_steps=1)
+        b2 = load_checkpoint(os.path.join(d, "last"), audio_cfg=TINY_AUDIO)
+
+        steps_logged = []
+
+        class Probe:
+            def log(self, step, metrics, prefix=""):
+                steps_logged.append(step)
+
+            def close(self):
+                pass
+
+        train(b2, const_batches(b2.task_manager), total_steps=5, log_every=1,
+              ckpt_every=0, ckpt_dir=d, spec_augment=False, warmup_steps=1,
+              resume_from=os.path.join(d, "last"), logger=Probe())
+        # continued at step 4, not 1 (schedule position preserved)
+        assert steps_logged == [4, 5], steps_logged
+
     def test_preemption_writes_final_ckpt(self, tmp_path):
         from yourmt3_tpu.api import init_model
         from yourmt3_tpu.train.trainer import train

