@@ -44,7 +44,7 @@ def build(model_preset, task, overrides):
     return init_model(model_preset, task, **overrides)
 
 
-def measure(bundle, batch, max_length, n_iters=3, ban_eos=True):
+def measure(bundle, batch, max_length, n_iters=3, ban_eos=True, unroll=1):
     import functools
 
     import jax
@@ -62,7 +62,7 @@ def measure(bundle, batch, max_length, n_iters=3, ban_eos=True):
         feats = bundle.frontend(audio)
         memory = bundle.model.apply(params, feats, method=YMT3.encode)
         return greedy_decode(bundle.model, params, memory, max_length,
-                             ban_eos=ban_eos)
+                             ban_eos=ban_eos, unroll=unroll)
 
     out = run(bundle.params, audio)
     _ = np.asarray(out)  # materialize: repeated identical dispatches can be
@@ -101,7 +101,8 @@ def bench_config(model_preset, task, batch, max_length=None, n_iters=3):
 
 
 def bench_transcribe_path(ckpt: str, song_seconds: float = 120.0,
-                          batch_size: int = 16, early_exit: bool = False):
+                          batch_size: int = 16, early_exit: bool = False,
+                          density: float = 3.0):
     # early_exit=False default: the plain decode already stops when ALL
     # streams finish; chunked per-stream compaction only wins when decode
     # lengths are long AND variable (measured: 71.6 vs 33.7 audio-s/s on
@@ -123,7 +124,7 @@ def bench_transcribe_path(ckpt: str, song_seconds: float = 120.0,
     bundle.model = YMT3(bundle.cfg.replace(**ov))
     sr = bundle.audio_cfg.sample_rate
     rng = np.random.default_rng(0)
-    chart = random_chart(rng, song_seconds, density=3.0)
+    chart = random_chart(rng, song_seconds, density=density)
     audio = render_notes(chart, sr, song_seconds, seed=123)
     # warm (compile)
     transcribe_audio_array(bundle, audio[: sr * 4], batch_size=batch_size,
@@ -134,7 +135,7 @@ def bench_transcribe_path(ckpt: str, song_seconds: float = 120.0,
     dt = time.perf_counter() - t0
     return {
         "config": f"transcribe_path[{bundle.cfg.name},B={batch_size},"
-                  f"early_exit={early_exit}]",
+                  f"early_exit={early_exit},density={density}]",
         "audio_s_per_s_per_chip": round(song_seconds / dt, 3),
         "vs_baseline": round(song_seconds / dt / TARGET, 4),
         "notes": len(notes), "decode_errors": err.total(),
@@ -199,6 +200,8 @@ def main():
     ckpt = None
     early_exit = False
     regime = False
+    tbatch = 16
+    density = 3.0
     for a in sys.argv[1:]:
         if a.startswith("--transcribe-ckpt="):
             ckpt = a.split("=", 1)[1]
@@ -206,12 +209,17 @@ def main():
             early_exit = True
         elif a == "--early-exit-regime":
             regime = True
+        elif a.startswith("--transcribe-batch="):
+            tbatch = int(a.split("=", 1)[1])
+        elif a.startswith("--song-density="):
+            density = float(a.split("=", 1)[1])
     if ckpt:
         if regime:
-            rows = bench_early_exit_regime(ckpt)
+            rows = bench_early_exit_regime(ckpt, batch_size=tbatch)
             print(json.dumps(rows))
             return
-        row = bench_transcribe_path(ckpt, early_exit=early_exit)
+        row = bench_transcribe_path(ckpt, batch_size=tbatch,
+                                    early_exit=early_exit, density=density)
         print(json.dumps(row))
         return
 

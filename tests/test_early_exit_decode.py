@@ -54,3 +54,15 @@ def test_compaction_actually_triggers():
                                               chunk=4, compact_threshold=1.0))
     want = np.asarray(greedy_decode(model, params, mem, L))
     assert np.array_equal(want, got)
+
+
+@pytest.mark.parametrize("kw", [{}, {"kv_quant": "int8"}])
+def test_unroll_matches_plain_greedy(kw):
+    """unroll>1 amortizes while-loop overhead; tokens must be IDENTICAL."""
+    model, params, mem = _bundle(**kw)
+    L = 48
+    want = np.asarray(greedy_decode(model, params, mem, L))
+    got = np.asarray(greedy_decode(model, params, mem, L, unroll=2))
+    assert np.array_equal(want, got)
+    got4 = np.asarray(greedy_decode(model, params, mem, L, unroll=4))
+    assert np.array_equal(want, got4)

@@ -40,12 +40,18 @@ def greedy_decode(
     prefix_ids: Optional[jnp.ndarray] = None,  # (P,) forced prefix (task tokens)
     eos_id: int = EOS_ID,
     ban_eos: bool = False,  # benchmarking: force worst-case full-length decode
+    unroll: int = 1,  # token steps per while-loop iteration (must divide
+    # max_length); >1 amortizes per-iteration loop overhead. Tokens are
+    # IDENTICAL to unroll=1 — the all-done early exit is just checked every
+    # `unroll` steps (finished streams emit PAD, so extra sub-steps are
+    # no-ops on the output).
 ) -> jnp.ndarray:
     """→ (B, C, max_length) int32 token ids (PAD-filled after EOS)."""
     B, C = memory.shape[0], memory.shape[1]
     BS = B * C
     cfg = model.cfg
     start = cfg.decoder_start_token_id
+    assert max_length % unroll == 0, (max_length, unroll)
 
     cross_kvs = model.apply(params, memory, method=YMT3.init_cross_kv)
     self_kvs = model.empty_self_kvs(BS, max_length)
@@ -55,7 +61,7 @@ def greedy_decode(
     def cond(st: DecodeState):
         return jnp.logical_and(st.pos < max_length, ~jnp.all(st.done))
 
-    def body(st: DecodeState):
+    def step_once(st: DecodeState) -> DecodeState:
         tok = jax.lax.dynamic_slice(st.buf, (0, st.pos), (BS, 1))
         logits, new_kvs = model.apply(params, tok, st.pos, st.self_kvs,
                                       cross_kvs, method=YMT3.decode_step)
@@ -69,6 +75,11 @@ def greedy_decode(
         done = jnp.logical_or(st.done, nxt == eos_id)
         buf = jax.lax.dynamic_update_slice(st.buf, nxt[:, None], (0, st.pos + 1))
         return DecodeState(st.pos + 1, buf, done, new_kvs)
+
+    def body(st: DecodeState):
+        for _ in range(unroll):
+            st = step_once(st)
+        return st
 
     buf0 = jnp.full((BS, max_length + 1), PAD_ID, jnp.int32).at[:, 0].set(start)
     st = DecodeState(jnp.asarray(0, jnp.int32), buf0,
