@@ -44,7 +44,7 @@ def build(model_preset, task, overrides):
     return init_model(model_preset, task, **overrides)
 
 
-def measure(bundle, batch, max_length, n_iters=3, ban_eos=True, unroll=1):
+def measure(bundle, batch, max_length, n_iters=3, ban_eos=True, unroll=1, phases=1):
     import functools
 
     import jax
@@ -62,7 +62,7 @@ def measure(bundle, batch, max_length, n_iters=3, ban_eos=True, unroll=1):
         feats = bundle.frontend(audio)
         memory = bundle.model.apply(params, feats, method=YMT3.encode)
         return greedy_decode(bundle.model, params, memory, max_length,
-                             ban_eos=ban_eos, unroll=unroll)
+                             ban_eos=ban_eos, unroll=unroll, phases=phases)
 
     out = run(bundle.params, audio)
     _ = np.asarray(out)  # materialize: repeated identical dispatches can be

@@ -66,3 +66,16 @@ def test_unroll_matches_plain_greedy(kw):
     assert np.array_equal(want, got)
     got4 = np.asarray(greedy_decode(model, params, mem, L, unroll=4))
     assert np.array_equal(want, got4)
+
+
+@pytest.mark.parametrize("kw", [{}, {"kv_quant": "int8"}])
+def test_phases_match_plain_greedy(kw):
+    """Phase-chunked dense reads (static kv_len horizons) must be
+    token-identical — masked positions were never read."""
+    model, params, mem = _bundle(**kw)
+    L = 48
+    want = np.asarray(greedy_decode(model, params, mem, L))
+    got = np.asarray(greedy_decode(model, params, mem, L, phases=4))
+    assert np.array_equal(want, got)
+    both = np.asarray(greedy_decode(model, params, mem, L, phases=2, unroll=2))
+    assert np.array_equal(want, both)

@@ -45,6 +45,14 @@ def greedy_decode(
     # IDENTICAL to unroll=1 — the all-done early exit is just checked every
     # `unroll` steps (finished streams emit PAD, so extra sub-steps are
     # no-ops on the output).
+    phases: int = 1,  # phase-chunked dense reads: phase p's while-loop
+    # reads only cache[:, :, :(p+1)·(max_length/phases)] in the dense
+    # self-attention (STATIC slice; pos < that horizon throughout the
+    # phase). Worst-case self-attn HBM traffic drops to (phases+1)/(2·
+    # phases) of full-L reads — the pure-XLA analogue of paged ∝pos reads,
+    # at XLA's full fused bandwidth. Tokens IDENTICAL (masked positions
+    # were never read). Short EOS-early decodes also win: only phase 0's
+    # small horizon is ever touched.
 ) -> jnp.ndarray:
     """→ (B, C, max_length) int32 token ids (PAD-filled after EOS)."""
     B, C = memory.shape[0], memory.shape[1]
@@ -52,19 +60,18 @@ def greedy_decode(
     cfg = model.cfg
     start = cfg.decoder_start_token_id
     assert max_length % unroll == 0, (max_length, unroll)
+    assert max_length % phases == 0, (max_length, phases)
 
     cross_kvs = model.apply(params, memory, method=YMT3.init_cross_kv)
     self_kvs = model.empty_self_kvs(BS, max_length)
 
     P = 0 if prefix_ids is None else int(prefix_ids.shape[0])
 
-    def cond(st: DecodeState):
-        return jnp.logical_and(st.pos < max_length, ~jnp.all(st.done))
-
-    def step_once(st: DecodeState) -> DecodeState:
+    def step_once(st: DecodeState, kv_len: int) -> DecodeState:
         tok = jax.lax.dynamic_slice(st.buf, (0, st.pos), (BS, 1))
         logits, new_kvs = model.apply(params, tok, st.pos, st.self_kvs,
-                                      cross_kvs, method=YMT3.decode_step)
+                                      cross_kvs, kv_len=kv_len,
+                                      method=YMT3.decode_step)
         if ban_eos:
             logits = logits.at[:, eos_id].set(-1e9)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -76,15 +83,23 @@ def greedy_decode(
         buf = jax.lax.dynamic_update_slice(st.buf, nxt[:, None], (0, st.pos + 1))
         return DecodeState(st.pos + 1, buf, done, new_kvs)
 
-    def body(st: DecodeState):
-        for _ in range(unroll):
-            st = step_once(st)
-        return st
-
     buf0 = jnp.full((BS, max_length + 1), PAD_ID, jnp.int32).at[:, 0].set(start)
     st = DecodeState(jnp.asarray(0, jnp.int32), buf0,
                      jnp.zeros((BS,), bool), self_kvs)
-    st = jax.lax.while_loop(cond, body, st)
+    span = max_length // phases
+    for p in range(phases):
+        limit = (p + 1) * span
+        kv_len = 0 if limit == max_length else limit
+
+        def cond(st: DecodeState, _limit=limit):
+            return jnp.logical_and(st.pos < _limit, ~jnp.all(st.done))
+
+        def body(st: DecodeState, _kv_len=kv_len):
+            for _ in range(unroll):
+                st = step_once(st, _kv_len)
+            return st
+
+        st = jax.lax.while_loop(cond, body, st)
     return st.buf[:, 1:].reshape(B, C, max_length)
 
 

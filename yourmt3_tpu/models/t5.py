@@ -130,10 +130,16 @@ class T5DecoderLayer(nn.Module):
 
     # ---- single-step decode with external caches ----------------------
     def decode_step(self, y, self_kv: KV, pos: jnp.ndarray, cross_kv: KV,
-                    step_bias) -> Tuple[jnp.ndarray, KV]:
+                    step_bias, kv_len: int = 0) -> Tuple[jnp.ndarray, KV]:
         """y: (B, 1, D). self_kv: (B, H, L, dk) ring caches. pos: scalar.
         step_bias: (1, H, 1, L) rel-bias row + causal mask (dense path), or
-        ("table", (buckets, H) array) for in-kernel reconstruction."""
+        ("table", (buckets, H) array) for in-kernel reconstruction.
+        kv_len: STATIC read horizon for the dense self-attention paths —
+        reads only cache[:, :, :kv_len] (pos < kv_len guaranteed by the
+        caller's phase schedule); 0 = full L. The pure-XLA analogue of the
+        paged kernel's ∝pos reads: phase-chunked decoding shrinks the
+        dominant HBM traffic without paying the kernel's lower sustained
+        bandwidth. Writes always land in the full-size cache."""
         h = self.norm_self(y)
         q = self.self_attn._split(self.self_attn.q(h))
         k_step = self.self_attn._split(self.self_attn.k(h))
@@ -174,8 +180,13 @@ class T5DecoderLayer(nn.Module):
                   jax.lax.dynamic_update_slice(ck[1], ks_s, (0, 0, pos)))
             cv = (jax.lax.dynamic_update_slice(cv[0], vq_s, (0, 0, pos, 0)),
                   jax.lax.dynamic_update_slice(cv[1], vs_s, (0, 0, pos)))
-            att = int8_decode_attention(q, ck[0], ck[1], cv[0], cv[1],
-                                        step_bias)
+            if kv_len:
+                att = int8_decode_attention(
+                    q, ck[0][:, :, :kv_len], ck[1][:, :, :kv_len],
+                    cv[0][:, :, :kv_len], cv[1][:, :, :kv_len], step_bias)
+            else:
+                att = int8_decode_attention(q, ck[0], ck[1], cv[0], cv[1],
+                                            step_bias)
         elif self.cfg.use_pallas_decode:
             # paged-KV kernel path: caches are (NB, B, H, dk, block) pages —
             # large contiguous DMA chunks; HBM reads ∝ pos+1, not L. The
@@ -194,7 +205,11 @@ class T5DecoderLayer(nn.Module):
         else:
             ck = jax.lax.dynamic_update_slice(ck, k_step, (0, 0, pos, 0))
             cv = jax.lax.dynamic_update_slice(cv, v_step, (0, 0, pos, 0))
-            att = dot_product_attention(q, ck, cv, step_bias)
+            if kv_len:
+                att = dot_product_attention(q, ck[:, :, :kv_len],
+                                            cv[:, :, :kv_len], step_bias)
+            else:
+                att = dot_product_attention(q, ck, cv, step_bias)
         y = y + self.self_attn.o(self.self_attn._merge(att))
 
         h = self.norm_cross(y)
@@ -290,9 +305,10 @@ class T5Decoder(nn.Module):
         return bias + jnp.where(j > pos, NEG_INF, 0.0)[None, None, None, :]
 
     def decode_step(self, token_ids: jnp.ndarray, pos: jnp.ndarray,
-                    self_kvs: List[KV], cross_kvs: List[KV]
-                    ) -> Tuple[jnp.ndarray, List[KV]]:
+                    self_kvs: List[KV], cross_kvs: List[KV],
+                    kv_len: int = 0) -> Tuple[jnp.ndarray, List[KV]]:
         """token_ids: (B, 1) current tokens; pos: scalar position.
+        kv_len: static dense-read horizon (see T5DecoderLayer.decode_step).
         → ((B, vocab) logits, updated self KV caches)."""
         y = self.embed(token_ids)
         skv = self_kvs[0][0]
@@ -304,10 +320,10 @@ class T5Decoder(nn.Module):
                     self.rel_bias.variables["params"]["rel_embedding"])
         else:
             L = (skv.shape[0] * skv.shape[3]) if skv.ndim == 5 else skv.shape[2]
-            bias = self.step_bias(pos, L)
+            bias = self.step_bias(pos, kv_len or L)
         new_kvs: List[KV] = []
         for lyr, skv, ckv in zip(self.layers, self_kvs, cross_kvs):
-            y, nkv = lyr.decode_step(y, skv, pos, ckv, bias)
+            y, nkv = lyr.decode_step(y, skv, pos, ckv, bias, kv_len=kv_len)
             new_kvs.append(nkv)
         y = self.final_norm(y)
         logits = self.lm_head(y).astype(jnp.float32)
@@ -343,7 +359,8 @@ class MultiChannelT5Decoder(nn.Module):
         return self.decoder.init_cross_kv(enc_out.reshape(B * C, T, D))
 
     def decode_step(self, token_ids: jnp.ndarray, pos: jnp.ndarray,
-                    self_kvs: List[KV], cross_kvs: List[KV]
-                    ) -> Tuple[jnp.ndarray, List[KV]]:
+                    self_kvs: List[KV], cross_kvs: List[KV],
+                    kv_len: int = 0) -> Tuple[jnp.ndarray, List[KV]]:
         """token_ids: (B·C, 1) — channel-folded, same as the caches."""
-        return self.decoder.decode_step(token_ids, pos, self_kvs, cross_kvs)
+        return self.decoder.decode_step(token_ids, pos, self_kvs, cross_kvs,
+                                        kv_len=kv_len)

@@ -70,9 +70,10 @@ class YMT3(nn.Module):
         return self.decoder.init_cross_kv(memory[:, 0])
 
     def decode_step(self, token_ids: jnp.ndarray, pos: jnp.ndarray,
-                    self_kvs: List[KV], cross_kvs: List[KV]
-                    ) -> Tuple[jnp.ndarray, List[KV]]:
-        return self.decoder.decode_step(token_ids, pos, self_kvs, cross_kvs)
+                    self_kvs: List[KV], cross_kvs: List[KV],
+                    kv_len: int = 0) -> Tuple[jnp.ndarray, List[KV]]:
+        return self.decoder.decode_step(token_ids, pos, self_kvs, cross_kvs,
+                                        kv_len=kv_len)
 
     # ---- cache scaffolding ---------------------------------------------
     def empty_self_kvs(self, batch_streams: int, max_len: int) -> List[KV]:
