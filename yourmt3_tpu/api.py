@@ -94,13 +94,16 @@ def load_checkpoint(path: str, model_preset: Optional[str] = None,
 
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("model", "max_length"))
+@functools.partial(jax.jit,
+                   static_argnames=("model", "max_length", "phases"))
 def _transcribe_batch(model: YMT3, params, frontend: SpectrogramFrontend,
                       audio: jnp.ndarray, max_length: int,
-                      prefix_ids: Optional[jnp.ndarray]) -> jnp.ndarray:
+                      prefix_ids: Optional[jnp.ndarray],
+                      phases: int = 1) -> jnp.ndarray:
     feats = frontend(audio)
     memory = model.apply(params, feats, method=YMT3.encode)
-    return greedy_decode(model, params, memory, max_length, prefix_ids)
+    return greedy_decode(model, params, memory, max_length, prefix_ids,
+                         phases=phases)
 
 
 @functools.partial(jax.jit, static_argnames=("model",))
@@ -116,7 +119,7 @@ def _encode_batch(model: YMT3, params, frontend: SpectrogramFrontend,
 def transcribe_segments_array(
     bundle: ModelBundle, segments: np.ndarray, start_times: Sequence[float],
     batch_size: int = 8, subtask: Optional[str] = None,
-    early_exit: bool = False,
+    early_exit: bool = False, decode_phases: int = 1,
 ) -> Tuple[List[Note], DecodeErrors]:
     """Pre-sliced (S, input_frames) segments + their start times → merged
     notes. The segments-level entry point: callers with their own slicing
@@ -146,7 +149,7 @@ def transcribe_segments_array(
         else:
             ids = _transcribe_batch(bundle.model, bundle.params,
                                     bundle.frontend, jnp.asarray(chunk), L,
-                                    prefix_arr)
+                                    prefix_arr, phases=decode_phases)
         all_ids.append(np.asarray(ids)[: batch_size - pad_n if pad_n else batch_size])
     seg_ids = np.concatenate(all_ids, axis=0)  # (S, C, L)
     return tm.detokenize_song(seg_ids, list(start_times))
@@ -155,13 +158,15 @@ def transcribe_segments_array(
 def transcribe_audio_array(
     bundle: ModelBundle, audio: np.ndarray, sample_rate: Optional[int] = None,
     batch_size: int = 8, subtask: Optional[str] = None,
-    early_exit: bool = False,
+    early_exit: bool = False, decode_phases: int = 1,
 ) -> Tuple[List[Note], DecodeErrors]:
     """Full-song mono float32 audio → merged notes.
 
     early_exit=True decodes each batch with per-stream retirement
     (models/decoding.greedy_decode_early_exit) — identical tokens, less
-    wall-clock when segment token lengths vary."""
+    wall-clock when segment token lengths vary. decode_phases>1 chunks the
+    dense decode into growing static read horizons (token-identical, less
+    HBM traffic; see models/decoding.greedy_decode)."""
     ac = bundle.audio_cfg
     if sample_rate is not None and sample_rate != ac.sample_rate:
         from .data.audio_io import resample
@@ -169,7 +174,8 @@ def transcribe_audio_array(
     segments, starts = slice_padded_array(audio, ac.input_frames)
     return transcribe_segments_array(
         bundle, segments, (starts / ac.sample_rate).tolist(),
-        batch_size=batch_size, subtask=subtask, early_exit=early_exit)
+        batch_size=batch_size, subtask=subtask, early_exit=early_exit,
+        decode_phases=decode_phases)
 
 
 def transcribe(bundle: ModelBundle, audio_path: str,
