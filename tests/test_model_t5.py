@@ -133,6 +133,48 @@ class TestGreedyDecode:
         out = greedy_decode(model, params, memory, max_length=10)
         assert out.shape == (2, 3, 10)
 
+    def test_multichannel_perceiver_decode_matches_teacher_forcing(self):
+        """The flagship structure (Perceiver-TF encoder + conv pre-encoder
+        + group projection + channel-folded multi-T5 decoder): cached
+        step-decode must reproduce the teacher-forced argmax chain per
+        channel. Round 2 only locked this for single-channel T5, leaving
+        the flagship decode path unverified against its training forward."""
+        from yourmt3_tpu.config.model import PERCEIVER_TF_MC13
+        from yourmt3_tpu.tokens.codec import EOS_ID
+        cfg = PERCEIVER_TF_MC13.replace(
+            d_model=32, d_kv=8, num_heads=4, d_ff=64,
+            num_encoder_layers=2, num_decoder_layers=2,
+            ptf_num_latents=8, ptf_d_latent=16, ptf_num_blocks=2,
+            num_channels=4, vocab_size=600,
+            use_pallas_decode=False, kv_quant="none",
+            compute_dtype="float32")  # sharp argmax comparison: in bf16 a
+        # 1-ulp (0.016) logit wobble between the cached and TF paths
+        # legitimately flips near-ties
+        model = YMT3(cfg)
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.standard_normal((1, 64, 16)), jnp.float32)
+        ids0 = jnp.zeros((1, 4, 8), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), feats, ids0)
+        memory = model.apply(params, feats, method=YMT3.encode)
+        L = 12
+        dec = np.asarray(greedy_decode(model, params, memory, max_length=L))[0]
+        logits = model.apply(params, feats,
+                             shift_right(jnp.asarray(dec)[None]))
+        tf_argmax = np.asarray(jnp.argmax(logits[0], -1))
+        lg = np.asarray(logits[0], np.float32)
+        for c in range(4):
+            eos = np.where(dec[c] == EOS_ID)[0]
+            upto = (eos[0] + 1) if len(eos) else L
+            for t in range(upto):
+                if dec[c, t] == tf_argmax[c, t]:
+                    continue
+                # cached step-decode and the full teacher-forced forward
+                # use different reduction/fusion orders, so with random
+                # near-uniform logits argmax may flip at a numerical tie;
+                # only a MATERIAL logit gap indicates a real path bug
+                gap = lg[c, t, tf_argmax[c, t]] - lg[c, t, dec[c, t]]
+                assert gap < 1e-3, (c, t, dec[c, t], tf_argmax[c, t], gap)
+
 
 class TestEndToEndSmoke:
     def test_transcribe_segments_pipeline(self):

@@ -95,3 +95,24 @@ class TestResume:
         # stopped early (well before 50) and wrote the final checkpoint
         assert max(hits) < 10
         assert os.path.exists(os.path.join(d, "last", "ymt3_meta.json"))
+
+
+class TestFullModelCfgInMeta:
+    def test_dim_overrides_survive_restore(self, tmp_path):
+        """Checkpoint metadata carries the FULL ModelConfig: a model
+        trained with dim overrides (not a bare preset) must reload from
+        the path alone. Regression: meta used to store only the preset
+        NAME, so overridden dims mismatched the on-disk param tree."""
+        import jax
+        from yourmt3_tpu.api import init_model, load_checkpoint
+        from yourmt3_tpu.train.checkpoint import save_bundle
+        bundle = init_model("t5_tiny", "mt3_full_plus", audio_cfg=TINY_AUDIO,
+                            d_model=48, d_kv=12, num_heads=2, d_ff=96,
+                            num_encoder_layers=1, num_decoder_layers=2)
+        d = str(tmp_path / "ovr")
+        save_bundle(d, bundle, step=7)
+        b2 = load_checkpoint(d, audio_cfg=TINY_AUDIO)
+        assert b2.cfg.d_model == 48 and b2.cfg.num_decoder_layers == 2
+        l0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(bundle.params)]
+        l1 = [np.asarray(x) for x in jax.tree_util.tree_leaves(b2.params)]
+        assert all(np.allclose(a, b) for a, b in zip(l0, l1))

@@ -62,10 +62,15 @@ def fast_decode_overrides(num_channels: int, max_len: int) -> dict:
 
 def init_model(model_preset: str = "t5_small", task: str = "mt3_full_plus",
                audio_cfg: AudioConfig = DEFAULT_AUDIO, seed: int = 0,
+               model_cfg: Optional[ModelConfig] = None,
                **cfg_overrides) -> ModelBundle:
-    """Build a randomly-initialized bundle (training / smoke tests)."""
+    """Build a randomly-initialized bundle (training / smoke tests).
+
+    model_cfg: a complete ModelConfig (e.g. deserialized from checkpoint
+    metadata) used instead of the named preset — dim overrides applied at
+    training time survive restore this way."""
     tm = TaskManager(task, audio_cfg)
-    cfg = get_model_config(model_preset).replace(
+    cfg = (model_cfg or get_model_config(model_preset)).replace(
         vocab_size=tm.vocab_size,
         num_channels=tm.num_decoding_channels,
         max_target_length=tm.max_token_length,

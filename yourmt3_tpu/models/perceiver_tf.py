@@ -135,6 +135,16 @@ class PerceiverTFEncoder(nn.Module):
         z = z.reshape(B, T, K, D)
 
         # --- temporal position encoding ---------------------------------
+        # Absolute sinusoids on the time axis, exactly as the T5 encoder
+        # path (t5.py:91): event timing is ABSOLUTE within a segment and
+        # the trainable embedding alone (0.02-scale init) leaves the
+        # decoder time-blind — measured on the round-3 flagship run:
+        # teacher-forced shift-token accuracy stalled at 0.006 after 14 k
+        # steps without this, while program/velocity acc hit 0.94/0.99.
+        # (Same failure mode the config comment records for the T5 path.)
+        if c.encoder_abs_pos == "sinusoidal":
+            from .layers import sinusoidal_positions
+            z = z + jnp.asarray(sinusoidal_positions(T, D), dt)[None, :, None, :]
         if c.ptf_pos_enc == "trainable":
             z = z + self.time_pos[:T].astype(dt)[None, :, None, :]
 

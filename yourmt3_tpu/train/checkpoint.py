@@ -39,6 +39,10 @@ def save_bundle(path: str, bundle, step: int = 0,
         # FULL audio config: a non-default frontend (f_min/f_max/power/
         # log_offset/mel options...) must restore exactly (ADVICE r1)
         "audio": dataclasses.asdict(bundle.audio_cfg),
+        # FULL model config: a preset NAME alone loses training-time dim
+        # overrides (e.g. init_model(..., d_model=256)) and the restore
+        # target then mismatches the on-disk param tree
+        "model": dataclasses.asdict(bundle.cfg),
     }
     with open(os.path.join(path, META_NAME), "w") as f:
         json.dump(meta, f, indent=2)
@@ -63,7 +67,18 @@ def restore_bundle(path: str, model_preset: Optional[str] = None,
     if audio_cfg is None:
         a = meta.get("audio", {})
         audio_cfg = AudioConfig(**a) if a else AudioConfig()
-    bundle = init_model(preset, task, audio_cfg, **cfg_overrides)
+    model_cfg = None
+    if model_preset is None and meta.get("model"):
+        # full serialized ModelConfig (newer checkpoints): reconstructing
+        # from it preserves training-time dim overrides the preset name
+        # alone would lose. Ignore unknown keys so configs written by a
+        # newer code version still load.
+        from ..config.model import ModelConfig
+        known = {f.name for f in __import__("dataclasses").fields(ModelConfig)}
+        model_cfg = ModelConfig(
+            **{k: v for k, v in meta["model"].items() if k in known})
+    bundle = init_model(preset, task, audio_cfg, model_cfg=model_cfg,
+                        **cfg_overrides)
     ckptr = ocp.StandardCheckpointer()
     target = jax.tree_util.tree_map(np.asarray, bundle.params)
     restored = ckptr.restore(os.path.join(path, "params"), target)

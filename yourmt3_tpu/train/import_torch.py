@@ -18,6 +18,13 @@ Unmatched keys are reported, never silently dropped. Perceiver-TF naming
 drifts most in the reference (SURVEY.md §7) — its map lives in
 PERCEIVER_RULES and must be re-verified against a real checkpoint when
 one is available (none ship in this offline environment).
+
+Parity note: when building the model for IMPORTED Perceiver-TF weights,
+pass encoder_abs_pos="none" — the reference PTF encoder carries only the
+trainable temporal embedding, while our preset default additionally adds
+fixed sinusoids on the time axis (models/perceiver_tf.py; needed to learn
+absolute event timing from scratch in few steps). The sinusoid is not a
+parameter, so the param-tree mapping itself is identical either way.
 """
 
 from __future__ import annotations

@@ -96,8 +96,12 @@ def train(
     tx = make_optimizer(optimizer, base_lr, schedule, warmup_steps, total_steps,
                         grad_accum_steps=grad_accum_steps)
     aug = make_augment_fn(SpecAugmentConfig()) if spec_augment else None
+    codec = bundle.task_manager.codec
+    shift_lo = codec.offset_of("shift")
     step_fn = make_train_step(bundle.model, bundle.frontend, tx, augment_fn=aug,
-                              pitch_shift_semitones=pitch_shift_semitones)
+                              pitch_shift_semitones=pitch_shift_semitones,
+                              shift_id_range=(shift_lo,
+                                              shift_lo + codec.max_shift_steps + 1))
     state = create_train_state(bundle.params, tx)
     start_step = 0
     if resume_from:
@@ -151,8 +155,10 @@ def train(
                 m["steps_per_sec"] = (step - start_step) / dt
                 m["target_tokens_per_sec"] = tokens_seen / dt
                 logger.log(step, m)
-                print(f"step {step}: loss={m['loss']:.4f} acc={m['accuracy']:.4f} "
-                      f"({m['steps_per_sec']:.2f} it/s)")
+                sh = (f" shift={m['shift_accuracy']:.3f}"
+                      if "shift_accuracy" in m else "")
+                print(f"step {step}: loss={m['loss']:.4f} acc={m['accuracy']:.4f}"
+                      f"{sh} ({m['steps_per_sec']:.2f} it/s)")
             if ckpt_every and (step % ckpt_every == 0 or step == total_steps):
                 bundle.params = jax.device_get(state.params)
                 save_bundle(os.path.join(ckpt_dir, "last"), bundle, step,
