@@ -30,6 +30,21 @@ import numpy as np
 
 TARGET = 50.0  # audio-seconds/sec/chip (BASELINE.md)
 
+# Hardware-measured decode-loop tuning (phases × unroll), written by
+# scripts/bench_phase_ablation.py after an on-chip grid sweep. Keyed by
+# "<model_preset>/<task>". Both knobs are token-identical to the default
+# (tested); only the while-loop structure changes, so a stale entry can
+# cost speed but never correctness.
+TUNING_FILE = "artifacts/decode_tuning.json"
+
+
+def load_decode_tuning() -> dict:
+    import os
+    if os.path.exists(TUNING_FILE):
+        with open(TUNING_FILE) as f:
+            return json.load(f)
+    return {}
+
 
 def decode_path_overrides(num_channels: int, max_len: int) -> dict:
     """Fastest measured decode path per shape (see module docstring;
@@ -86,12 +101,17 @@ def bench_config(model_preset, task, batch, max_length=None, n_iters=3):
         max_length, tm.max_token_length)
     ov = decode_path_overrides(tm.num_decoding_channels, L)
     bundle = build(model_preset, task, ov)
-    thr, lat = measure(bundle, batch, L, n_iters)
+    tune = load_decode_tuning().get(f"{model_preset}/{task}", {})
+    phases, unroll = tune.get("phases", 1), tune.get("unroll", 1)
+    thr, lat = measure(bundle, batch, L, n_iters, phases=phases,
+                       unroll=unroll)
     # p50 single-batch latency for ONE segment (B=1)
-    _, lat1 = measure(bundle, 1, L, n_iters=5)
+    _, lat1 = measure(bundle, 1, L, n_iters=5, phases=phases, unroll=unroll)
     return {
         "config": f"{model_preset}/{task}",
-        "batch": batch, "max_length": L, "decode_path": ov,
+        "batch": batch, "max_length": L,
+        "decode_path": {**ov, **({"phases": phases, "unroll": unroll}
+                                 if tune else {})},
         "audio_s_per_s_per_chip": round(thr, 3),
         "batch_latency_ms": round(lat * 1e3, 1),
         "p50_segment_latency_ms": round(lat1 * 1e3, 1),

@@ -153,3 +153,31 @@ class TestPositionalAndProjectionVariants:
                             jnp.zeros((1, 1, 8), jnp.int32))
         mem = model.apply(params, feats, method=YMT3.encode)
         assert mem.shape == (1, 1, 16, cfg.d_model)
+
+
+class TestAbsoluteTimeSignal:
+    """Locks the round-3 flagship fix: the Perceiver-TF encoder output
+    must carry an ABSOLUTE time-within-segment signal (MT3 shift tokens
+    are absolute; without this the decoder is time-blind — measured:
+    shift-token TF accuracy stalled at 0.006 and end-to-end onset F1 at
+    0.095 after 30 k steps, runs/mc13_r3)."""
+
+    def test_sinusoid_is_injected_into_the_forward(self):
+        # the sinusoid is NOT a parameter: the exact same param tree run
+        # with the flag on vs off must produce materially different
+        # memories. (A pure time-variance check is not diagnostic here —
+        # the conv pre-encoder's zero padding makes even the "none"
+        # variant time-varying at the segment edges.)
+        feats = jnp.ones((1, 16, 64))
+        ids = jnp.zeros((1, 13, 4), jnp.int32)
+        cfg_sin = tiny_ptf_cfg(encoder_abs_pos="sinusoidal")
+        params = YMT3(cfg_sin).init(jax.random.PRNGKey(0), feats, ids)
+        mem_sin = YMT3(cfg_sin).apply(params, feats, method=YMT3.encode)
+        mem_off = YMT3(tiny_ptf_cfg(encoder_abs_pos="none")).apply(
+            params, feats, method=YMT3.encode)
+        diff = float(np.mean(np.abs(np.asarray(mem_sin - mem_off))))
+        mag = float(np.mean(np.abs(np.asarray(mem_sin)))) + 1e-9
+        assert diff / mag > 0.05, (diff, mag)
+
+    def test_preset_default_is_sinusoidal(self):
+        assert PERCEIVER_TF_MC13.encoder_abs_pos == "sinusoidal"
