@@ -76,3 +76,33 @@ class TestBeam:
                                      beam_size=2,
                                      prefix_ids=jnp.asarray([7, 9], jnp.int32)))
         assert np.all(out[:, :, 0] == 7) and np.all(out[:, :, 1] == 9)
+
+
+class TestBeamOnPublicPath:
+    def test_transcribe_audio_array_beam(self):
+        """beam_size>1 through the PUBLIC api path: decodes every segment
+        with batched beam search and feeds the detokenizer (untrained
+        model => garbage notes, but shapes/merge must hold)."""
+        import numpy as np
+        from yourmt3_tpu.api import init_model, transcribe_audio_array
+        from yourmt3_tpu.config.audio import AudioConfig
+        ac = AudioConfig()
+        bundle = init_model("t5_tiny", "mt3_midi", audio_cfg=ac)
+        rng = np.random.default_rng(0)
+        audio = (rng.standard_normal(int(ac.input_frames * 2.5))
+                 .astype(np.float32) * 0.1)
+        notes, err = transcribe_audio_array(bundle, audio, batch_size=2,
+                                            beam_size=2)
+        assert isinstance(notes, list)
+
+    def test_beam_and_early_exit_exclusive(self):
+        import numpy as np
+        import pytest
+        from yourmt3_tpu.api import init_model, transcribe_audio_array
+        from yourmt3_tpu.config.audio import AudioConfig
+        ac = AudioConfig()
+        bundle = init_model("t5_tiny", "mt3_midi", audio_cfg=ac)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            transcribe_audio_array(
+                bundle, np.zeros(ac.input_frames, np.float32),
+                beam_size=2, early_exit=True)

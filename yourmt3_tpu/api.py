@@ -111,6 +111,19 @@ def _transcribe_batch(model: YMT3, params, frontend: SpectrogramFrontend,
                          phases=phases)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("model", "max_length", "beam_size"))
+def _transcribe_batch_beam(model: YMT3, params, frontend: SpectrogramFrontend,
+                           audio: jnp.ndarray, max_length: int,
+                           prefix_ids: Optional[jnp.ndarray],
+                           beam_size: int) -> jnp.ndarray:
+    from .models.decoding import beam_decode
+    feats = frontend(audio)
+    memory = model.apply(params, feats, method=YMT3.encode)
+    return beam_decode(model, params, memory, max_length,
+                       beam_size=beam_size, prefix_ids=prefix_ids)
+
+
 @functools.partial(jax.jit, static_argnames=("model",))
 def _encode_batch(model: YMT3, params, frontend: SpectrogramFrontend,
                   audio: jnp.ndarray) -> jnp.ndarray:
@@ -124,13 +137,17 @@ def _encode_batch(model: YMT3, params, frontend: SpectrogramFrontend,
 def transcribe_segments_array(
     bundle: ModelBundle, segments: np.ndarray, start_times: Sequence[float],
     batch_size: int = 8, subtask: Optional[str] = None,
-    early_exit: bool = False, decode_phases: int = 1,
+    early_exit: bool = False, decode_phases: int = 1, beam_size: int = 1,
 ) -> Tuple[List[Note], DecodeErrors]:
     """Pre-sliced (S, input_frames) segments + their start times → merged
     notes. The segments-level entry point: callers with their own slicing
     (eval datasets, overlapping-window experiments) use this directly
     instead of flattening back to a 1-D song (which silently assumed
-    contiguous non-overlapping slices)."""
+    contiguous non-overlapping slices). beam_size>1 decodes each segment
+    with batched beam search (models/decoding.beam_decode) instead of
+    greedy; mutually exclusive with early_exit."""
+    if beam_size > 1 and early_exit:
+        raise ValueError("beam_size>1 and early_exit are mutually exclusive")
     ac = bundle.audio_cfg
     S = segments.shape[0]
     tm = bundle.task_manager
@@ -151,6 +168,10 @@ def transcribe_segments_array(
                                    bundle.frontend, jnp.asarray(chunk))
             ids = greedy_decode_early_exit(bundle.model, bundle.params,
                                            memory, L, prefix_ids=prefix_arr)
+        elif beam_size > 1:
+            ids = _transcribe_batch_beam(bundle.model, bundle.params,
+                                         bundle.frontend, jnp.asarray(chunk),
+                                         L, prefix_arr, beam_size)
         else:
             ids = _transcribe_batch(bundle.model, bundle.params,
                                     bundle.frontend, jnp.asarray(chunk), L,
@@ -163,7 +184,7 @@ def transcribe_segments_array(
 def transcribe_audio_array(
     bundle: ModelBundle, audio: np.ndarray, sample_rate: Optional[int] = None,
     batch_size: int = 8, subtask: Optional[str] = None,
-    early_exit: bool = False, decode_phases: int = 1,
+    early_exit: bool = False, decode_phases: int = 1, beam_size: int = 1,
 ) -> Tuple[List[Note], DecodeErrors]:
     """Full-song mono float32 audio → merged notes.
 
@@ -171,7 +192,8 @@ def transcribe_audio_array(
     (models/decoding.greedy_decode_early_exit) — identical tokens, less
     wall-clock when segment token lengths vary. decode_phases>1 chunks the
     dense decode into growing static read horizons (token-identical, less
-    HBM traffic; see models/decoding.greedy_decode)."""
+    HBM traffic; see models/decoding.greedy_decode). beam_size>1 switches
+    to batched beam search."""
     ac = bundle.audio_cfg
     if sample_rate is not None and sample_rate != ac.sample_rate:
         from .data.audio_io import resample
@@ -180,16 +202,16 @@ def transcribe_audio_array(
     return transcribe_segments_array(
         bundle, segments, (starts / ac.sample_rate).tolist(),
         batch_size=batch_size, subtask=subtask, early_exit=early_exit,
-        decode_phases=decode_phases)
+        decode_phases=decode_phases, beam_size=beam_size)
 
 
 def transcribe(bundle: ModelBundle, audio_path: str,
                output_path: Optional[str] = None, batch_size: int = 8,
-               subtask: Optional[str] = None) -> str:
+               subtask: Optional[str] = None, beam_size: int = 1) -> str:
     """Audio file → MIDI file path (the reference's public API, C31)."""
     audio, sr = load_audio_file(audio_path, bundle.audio_cfg.sample_rate)
     notes, errors = transcribe_audio_array(bundle, audio, sr, batch_size,
-                                           subtask)
+                                           subtask, beam_size=beam_size)
     if output_path is None:
         output_path = os.path.splitext(audio_path)[0] + ".mid"
     note_event2midi(notes, output_path)

@@ -33,6 +33,9 @@ def main(argv=None) -> None:
                    help="exact = bf16 KV decode (default: bit-faithful "
                         "outputs); fast = int8/paged KV (measured ≤0.7 "
                         "onset-F1 pts, ~1.5× throughput)")
+    p.add_argument("--beam-size", type=int, default=1,
+                   help=">1 decodes with batched beam search (greedy is "
+                        "the reference default; beam is a quality knob)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -79,7 +82,7 @@ def main(argv=None) -> None:
             args.output_dir,
             os.path.splitext(os.path.basename(path))[0] + ".mid")
         mid = transcribe(bundle, path, out, batch_size=args.batch_size,
-                         subtask=args.subtask)
+                         subtask=args.subtask, beam_size=args.beam_size)
         print(f"{path} -> {mid}")
 
 
