@@ -22,6 +22,11 @@ def main(argv=None) -> None:
     p.add_argument("--max-tracks", type=int, default=None)
     p.add_argument("--subtask", default=None)
     p.add_argument("--output-json", default=None)
+    p.add_argument("--kv-quant", default=None,
+                   choices=("none", "int8", "int8c4", "int4"),
+                   help="override the decode KV-cache format (quality/"
+                        "throughput trade; params are unchanged, only the "
+                        "model object is rebuilt)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -34,6 +39,9 @@ def main(argv=None) -> None:
     from ..eval.evaluator import evaluate_file_dataset
 
     bundle = load_checkpoint(args.checkpoint)
+    if args.kv_quant is not None:
+        from ..models.ymt3 import YMT3
+        bundle.model = YMT3(bundle.cfg.replace(kv_quant=args.kv_quant))
     preset = get_data_preset(args.data_preset)
     results = {}
     for entry, idx in zip(preset.entries, preset.index_files(args.split)):

@@ -69,10 +69,14 @@ class ModelConfig:
     max_target_length: int = 1024
     decoder_start_token_id: int = 0  # PAD doubles as BOS (T5 convention)
     use_pallas_decode: bool = False  # paged-KV decode attention kernel (TPU)
-    # int8-quantized KV caches for autoregressive decode (self + cross).
+    # Quantized KV caches for autoregressive decode (self + cross).
     # Decode attention is HBM-bound on cache reads (measured ~75% of the
     # flagship step); per-position-scaled int8 halves that traffic with
-    # ~0.7% relative logit error. "none" | "int8".
+    # ~0.7% relative logit error. "int4" halves it again (nibble-packed,
+    # ~3.6% row-max error — measure F1 before trusting). "int8c4" keeps
+    # the self cache int8 and packs only the STEP-INVARIANT cross KV to
+    # int4 (the dominant reads of short multi-channel decodes).
+    # "none" | "int8" | "int8c4" | "int4".
     kv_quant: str = "none"
 
     # dtypes

@@ -145,7 +145,8 @@ class T5DecoderLayer(nn.Module):
         k_step = self.self_attn._split(self.self_attn.k(h))
         v_step = self.self_attn._split(self.self_attn.v(h))
         ck, cv = self_kv
-        if self.cfg.kv_quant == "int8" and self.cfg.use_pallas_decode:
+        if (self.cfg.kv_quant in ("int8", "int8c4")
+                and self.cfg.use_pallas_decode):
             # int8 PAGED self-attention: combines the paged kernel's
             # ∝pos reads with int8's halved bytes. Cache entries are
             # ((values (NB,S,H,block,dk) int8, scales (S,NB,H,block)),…)
@@ -169,7 +170,26 @@ class T5DecoderLayer(nn.Module):
                 block=block, streams_per_tile=sp,
                 k_scale=ksc, v_scale=vsc)
             ck, cv = (kq, ksc), (vq, vsc)
-        elif self.cfg.kv_quant == "int8":
+        elif self.cfg.kv_quant == "int4":
+            # int4 cache: ck = (k packed uint8 (S,H,L,dk//2), f32 (S,H,L)).
+            # Same in-place row write as int8 at half the bytes; the
+            # attention never materializes an interleaved dequant
+            # (ops/kv_quant.int4_decode_attention).
+            from ..ops.kv_quant import int4_decode_attention, quantize_kv4
+            kq_s, ks_s = quantize_kv4(k_step)
+            vq_s, vs_s = quantize_kv4(v_step)
+            ck = (jax.lax.dynamic_update_slice(ck[0], kq_s, (0, 0, pos, 0)),
+                  jax.lax.dynamic_update_slice(ck[1], ks_s, (0, 0, pos)))
+            cv = (jax.lax.dynamic_update_slice(cv[0], vq_s, (0, 0, pos, 0)),
+                  jax.lax.dynamic_update_slice(cv[1], vs_s, (0, 0, pos)))
+            if kv_len:
+                att = int4_decode_attention(
+                    q, ck[0][:, :, :kv_len], ck[1][:, :, :kv_len],
+                    cv[0][:, :, :kv_len], cv[1][:, :, :kv_len], step_bias)
+            else:
+                att = int4_decode_attention(q, ck[0], ck[1], cv[0], cv[1],
+                                            step_bias)
+        elif self.cfg.kv_quant in ("int8", "int8c4"):
             # int8 cache: ck = (k int8 (S,H,L,dk), scales f32 (S,H,L)).
             # Quantize this step's row, write value+scale in place, attend
             # with dequant fused into the einsums (ops/kv_quant.py).
@@ -215,10 +235,18 @@ class T5DecoderLayer(nn.Module):
         h = self.norm_cross(y)
         qc = self.cross_attn._split(self.cross_attn.q(h))
         if isinstance(cross_kv[0], tuple):
-            # int8-quantized static cross KV (quantized once at init)
-            from ..ops.kv_quant import int8_decode_attention
+            # quantized static cross KV (quantized once at init); uint8
+            # values ⇒ nibble-packed int4, int8 otherwise. Cross reads are
+            # step-invariant full-T traffic — the flagship's dominant
+            # decode bytes — so int4 here halves what phase-chunking
+            # cannot touch.
             (ckq, cks), (cvq, cvs) = cross_kv
-            attc = int8_decode_attention(qc, ckq, cks, cvq, cvs, None)
+            if ckq.dtype == jnp.uint8:
+                from ..ops.kv_quant import int4_decode_attention
+                attc = int4_decode_attention(qc, ckq, cks, cvq, cvs, None)
+            else:
+                from ..ops.kv_quant import int8_decode_attention
+                attc = int8_decode_attention(qc, ckq, cks, cvq, cvs, None)
         elif cross_kv[0].ndim == 5:
             # paged cross path: one fused kernel pass reads the static
             # encoder KV once (vs XLA's separate q·K and w·V passes with
@@ -277,6 +305,12 @@ class T5Decoder(nn.Module):
     # ---- decode-time helpers (used under jit by models/decoding.py) ----
     def init_cross_kv(self, enc_out: jnp.ndarray) -> List[KV]:
         kvs = [lyr.cross_attn.project_kv(enc_out) for lyr in self.layers]
+        if self.cfg.kv_quant in ("int4", "int8c4"):
+            # int8c4 = int8 SELF + int4 CROSS: cross reads dominate short
+            # multi-channel decodes and are re-read every step, so they
+            # take the cheaper format while the self cache keeps int8.
+            from ..ops.kv_quant import quantize_kv4
+            return [(quantize_kv4(k), quantize_kv4(v)) for k, v in kvs]
         if self.cfg.kv_quant == "int8":
             from ..ops.kv_quant import quantize_kv
             return [(quantize_kv(k), quantize_kv(v)) for k, v in kvs]

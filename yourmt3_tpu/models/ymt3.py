@@ -79,7 +79,16 @@ class YMT3(nn.Module):
     def empty_self_kvs(self, batch_streams: int, max_len: int) -> List[KV]:
         c = self.cfg
         dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
-        if c.kv_quant == "int8" and c.use_pallas_decode:
+        if c.kv_quant == "int4":
+            # nibble-packed int4 self cache: (values uint8 (S,H,L,dk//2),
+            # per-position fp32 scales); zero scales zero out unwritten
+            # positions exactly as in the int8 cache
+            vals = (batch_streams, c.num_heads, max_len, c.d_kv // 2)
+            scls = (batch_streams, c.num_heads, max_len)
+            return [((jnp.zeros(vals, jnp.uint8), jnp.zeros(scls, jnp.float32)),
+                     (jnp.zeros(vals, jnp.uint8), jnp.zeros(scls, jnp.float32)))
+                    for _ in range(c.num_decoder_layers)]
+        if c.kv_quant in ("int8", "int8c4") and c.use_pallas_decode:
             # int8 PAGED caches: ((values pages int8, scale pages fp32), …)
             # — ∝pos kernel reads at half the bytes
             from ..ops.pallas.decode_attention import (empty_paged_cache,
@@ -92,7 +101,7 @@ class YMT3(nn.Module):
                         empty_paged_scales(batch_streams, c.num_heads,
                                            padded, block))
             return [(pair(), pair()) for _ in range(c.num_decoder_layers)]
-        if c.kv_quant == "int8":
+        if c.kv_quant in ("int8", "int8c4"):
             # (values int8, per-position fp32 scales); zero scales make
             # unwritten positions contribute 0 logits (masked anyway)
             vals = (batch_streams, c.num_heads, max_len, c.d_kv)

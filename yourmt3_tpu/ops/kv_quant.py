@@ -39,6 +39,67 @@ def dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     return q.astype(jnp.float32) * scale[..., None]
 
 
+def quantize_kv4(x: jnp.ndarray) -> QKV:
+    """(..., dk) float → ((..., dk//2) uint8 nibble-packed, (...,) fp32).
+
+    4-bit symmetric per-row quantization: values in [-7, 7], stored
+    biased (+8) so a zero-initialized cache byte decodes to -8 — harmless
+    because empty positions carry ZERO scales (their logit/value
+    contribution is exactly 0, same trick as the int8 caches). Element
+    2i is the LOW nibble of byte i, element 2i+1 the HIGH nibble."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 7.0
+    safe = jnp.maximum(scale, 1e-30)
+    q = jnp.clip(jnp.round(xf / safe[..., None]), -7, 7).astype(jnp.int32)
+    lo = (q[..., 0::2] + 8).astype(jnp.uint8)
+    hi = (q[..., 1::2] + 8).astype(jnp.uint8)
+    return lo | (hi << 4), scale
+
+
+def unpack_kv4(p: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """packed (..., dk//2) uint8 → (lo, hi) bf16 value planes in [-7, 7]
+    (interleaved original = stack([lo, hi], -1).reshape(..., dk))."""
+    lo = ((p & 0xF).astype(jnp.int8) - 8).astype(jnp.bfloat16)
+    hi = ((p >> 4).astype(jnp.int8) - 8).astype(jnp.bfloat16)
+    return lo, hi
+
+
+def int4_decode_attention(q: jnp.ndarray,  # (S, H, 1, dk) float
+                          k_p: jnp.ndarray,  # (S, H, L, dk//2) uint8 packed
+                          k_s: jnp.ndarray,  # (S, H, L) fp32
+                          v_p: jnp.ndarray,  # (S, H, L, dk//2) uint8 packed
+                          v_s: jnp.ndarray,  # (S, H, L) fp32
+                          bias  # (1, H, 1, L) additive or None
+                          ) -> jnp.ndarray:
+    """softmax(q·K^T + bias)·V with nibble-packed int4 K/V: HBM reads are
+    the packed uint8 (half of int8). The dot never materializes an
+    interleaved dequant: q·k = q_even·k_lo + q_odd·k_hi (element 2i pairs
+    with the low nibble), and the V output plane-splits the same way —
+    the unpack stays elementwise producers feeding the two half-width
+    dots. int4 values are exact in bf16; both dots accumulate fp32."""
+    dn = (((3,), (3,)), ((0, 1), (0, 1)))
+    k_lo, k_hi = unpack_kv4(k_p)
+    qb = q.astype(jnp.bfloat16)
+    logits = (jax.lax.dot_general(qb[..., 0::2], k_lo, dn,
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(qb[..., 1::2], k_hi, dn,
+                                    preferred_element_type=jnp.float32))
+    logits = logits * k_s[:, :, None, :]
+    if bias is not None:
+        logits = logits + bias
+    w = jax.nn.softmax(logits, axis=-1)
+    w = (w * v_s[:, :, None, :]).astype(jnp.bfloat16)
+    v_lo, v_hi = unpack_kv4(v_p)
+    dnv = (((3,), (2,)), ((0, 1), (0, 1)))
+    out_lo = jax.lax.dot_general(w, v_lo, dnv,
+                                 preferred_element_type=jnp.float32)
+    out_hi = jax.lax.dot_general(w, v_hi, dnv,
+                                 preferred_element_type=jnp.float32)
+    out = jnp.stack([out_lo, out_hi], axis=-1)
+    out = out.reshape(*out_lo.shape[:-1], out_lo.shape[-1] * 2)
+    return out.astype(q.dtype)
+
+
 def int8_decode_attention(q: jnp.ndarray,  # (S, H, 1, dk) float
                           k_q: jnp.ndarray,  # (S, H, L, dk) int8
                           k_s: jnp.ndarray,  # (S, H, L) fp32
