@@ -23,7 +23,9 @@ def _bundle(**kw):
     return model, params, mem
 
 
-@pytest.mark.parametrize("kw", [{}, {"kv_quant": "int8"}])
+@pytest.mark.parametrize("kw", [{}, {"kv_quant": "int8"},
+                                {"kv_quant": "int8c4"},
+                                {"kv_quant": "int4"}])
 def test_matches_plain_greedy(kw):
     model, params, mem = _bundle(**kw)
     L = 48
