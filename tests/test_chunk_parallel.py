@@ -63,3 +63,17 @@ class TestEvalSweepChunkParallel:
         assert set(single) == set(sharded)
         for k in single:
             assert single[k] == pytest.approx(sharded[k], abs=1e-9), k
+
+    def test_mesh_eval_rejects_noncontiguous_slicing(self):
+        """The mesh path re-slices the flat song on device, so a dataset
+        with overlapping (or otherwise non-grid) segments must be rejected
+        loudly instead of silently evaluating corrupted audio."""
+        from yourmt3_tpu.eval.evaluator import evaluate_file_dataset
+
+        bundle = init_model("t5_tiny", "mt3_full_plus", audio_cfg=TINY_AUDIO)
+        seg_s = TINY_AUDIO.input_frames / TINY_AUDIO.sample_rate
+        segs = np.zeros((3, TINY_AUDIO.input_frames), np.float32)
+        overlapping = [("trk", segs, [0.0, seg_s / 2, seg_s], [])]
+        with pytest.raises(ValueError, match="contiguous"):
+            evaluate_file_dataset(bundle, overlapping, verbose=False,
+                                  mesh=make_mesh(n_data=8))

@@ -46,6 +46,17 @@ def evaluate_file_dataset(
     for track_id, segments, start_times, ref_notes in dataset:
         if mesh is not None:
             from ..parallel.chunk_stream import transcribe_song_chunk_parallel
+            # chunk_stream re-slices the flat song on device, so this path
+            # is only valid for contiguous non-overlapping dataset slicing;
+            # fail loudly rather than silently corrupting eval audio.
+            seg_s = bundle.audio_cfg.input_frames / bundle.audio_cfg.sample_rate
+            expected = [i * seg_s for i in range(len(start_times))]
+            if any(abs(a - b) > 1e-6 for a, b in zip(start_times, expected)):
+                raise ValueError(
+                    "mesh eval requires contiguous non-overlapping segments "
+                    f"(got start_times {list(start_times)[:4]}…, expected "
+                    f"multiples of {seg_s:.3f}s); use mesh=None for custom "
+                    "slicers")
             audio_flat = segments.reshape(-1)[: segments.shape[0] * bundle.audio_cfg.input_frames]
             est_notes, err = transcribe_song_chunk_parallel(
                 bundle, audio_flat, mesh,
