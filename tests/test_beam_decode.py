@@ -95,6 +95,28 @@ class TestBeamOnPublicPath:
                                             beam_size=2)
         assert isinstance(notes, list)
 
+    def test_beam_multichannel(self):
+        """Beams fold into the stream axis (S·K = B·C·K), so beam decode
+        must be channel-agnostic: beam1 ≡ greedy on the multi-channel
+        decoder, and beam>1 keeps the (B, C, L) contract."""
+        cfg = T5_TINY.replace(vocab_size=64, num_channels=3,
+                              decoder_type="multi-t5")
+        model = YMT3(cfg)
+        feats = jnp.asarray(
+            np.random.default_rng(7).standard_normal((2, 16, 24)),
+            jnp.float32)
+        params = model.init(jax.random.PRNGKey(5), feats,
+                            jnp.zeros((2, 3, 8), jnp.int32))
+        mem = model.apply(params, feats, method=YMT3.encode)
+        g = np.asarray(greedy_decode(model, params, mem, max_length=12))
+        b1 = np.asarray(beam_decode(model, params, mem, max_length=12,
+                                    beam_size=1))
+        assert g.shape == b1.shape == (2, 3, 12)
+        assert np.array_equal(g, b1)
+        b3 = np.asarray(beam_decode(model, params, mem, max_length=12,
+                                    beam_size=3))
+        assert b3.shape == (2, 3, 12)
+
     def test_beam_and_early_exit_exclusive(self):
         import numpy as np
         import pytest
