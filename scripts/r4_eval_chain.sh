@@ -1,10 +1,12 @@
 #!/bin/bash
-# Resilient TPU work chain for the flagship mc13_r4 run. The original
-# training wedged at step 20000/28000 (axon tunnel), so this chain first
-# RESUMES training to complete the cosine schedule, then evaluates the
-# final checkpoint, then runs the bench queue. Every stage runs under
-# `timeout` with retries; training runs under the wedge watchdog.
-# Markers go to /tmp/r4_chain.log ("CHAIN DONE" releases stage 2).
+# Resilient TPU work chain for the flagship mc13_r4 run. Ordering is
+# value-per-chip-minute: the round can be cut at any time, so the cheap
+# headline F1 evals (the round's keystone numbers) run FIRST on the
+# existing step-19k checkpoint, then training resumes to complete the
+# 28k cosine schedule, then the final-checkpoint evals + bench queue.
+# Every stage runs under `timeout` with retries; training under the
+# wedge watchdog. Markers -> /tmp/r4_chain.log ("CHAIN DONE" releases
+# stage 2 = scripts/r4_stage2_t5base.sh).
 set -u
 cd /root/repo
 LOG=/tmp/r4_chain.log
@@ -25,17 +27,24 @@ retry() { # retry <timeout_s> <name> <cmd...>
   return 1
 }
 
-# 0. probe until the tunnel answers (10 min/try, up to ~4 h)
-for i in $(seq 1 24); do
+# 0. probe until the tunnel answers (10 min/try; loop long: the chain is
+# useless without the chip, so just keep knocking)
+for i in $(seq 1 72); do
   mark "probe attempt $i"
   if timeout 600 python -c "import jax,jax.numpy as jnp; assert float(jnp.ones((8,8)).sum())==64.0"; then
     mark "TPU ALIVE"
     break
   fi
-  sleep 60
+  sleep 30
 done
 
-# 1. resume flagship training 19000 -> 28000 (completes the schedule)
+# 1. headline F1 evals on the EXISTING 19k checkpoint (cheap, banked first)
+retry 2400 eval_test_19k python -u -m yourmt3_tpu.cli.test -ckpt "$RUN/last" -d synth_mc --split test \
+  -b 8 --output-json "$RUN/eval_test.json"
+retry 1800 eval_train_19k python -u -m yourmt3_tpu.cli.test -ckpt "$RUN/last" -d synth_mc --split train \
+  -b 8 --max-tracks 16 --output-json "$RUN/eval_train.json"
+
+# 2. resume flagship training 19000 -> 28000 (completes the schedule)
 mark "resume mc13_r4 training to 28000"
 rm -f /tmp/stop_watchdog
 nohup bash scripts/train_watchdog.sh "$RUN" /tmp/train_mc13_r4.log /tmp/train_r4.pid -- \
@@ -46,13 +55,13 @@ touch /tmp/stop_watchdog
 sleep 5
 mark "training complete"
 
-# 2. quality evals on the FINAL checkpoint
-retry 3600 eval_test python -u -m yourmt3_tpu.cli.test -ckpt "$RUN/last" -d synth_mc --split test \
+# 3. final-checkpoint evals (overwrite the 19k numbers with the real finals)
+retry 2400 eval_test python -u -m yourmt3_tpu.cli.test -ckpt "$RUN/last" -d synth_mc --split test \
   -b 8 --output-json "$RUN/eval_test.json"
-retry 2400 eval_train python -u -m yourmt3_tpu.cli.test -ckpt "$RUN/last" -d synth_mc --split train \
+retry 1800 eval_train python -u -m yourmt3_tpu.cli.test -ckpt "$RUN/last" -d synth_mc --split train \
   -b 8 --max-tracks 16 --output-json "$RUN/eval_train.json"
 
-# 3. bench queue
+# 4. bench queue
 retry 1800 phase_ablation python -u scripts/bench_phase_ablation.py
 retry 3600 bench_matrix python -u bench.py --matrix
 retry 1200 transcribe_r4 sh -c "python -u bench.py --transcribe-ckpt=runs/mc13_r4/last > artifacts/transcribe_r4.json"
