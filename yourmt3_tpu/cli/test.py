@@ -27,6 +27,9 @@ def main(argv=None) -> None:
                    help="override the decode KV-cache format (quality/"
                         "throughput trade; params are unchanged, only the "
                         "model object is rebuilt)")
+    p.add_argument("--beam-size", type=int, default=1,
+                   help="per-segment batched beam search (1 = greedy, "
+                        "the reference default)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -50,7 +53,8 @@ def main(argv=None) -> None:
         res = evaluate_file_dataset(
             bundle, ds, eval_program_vocab=entry.eval_program_vocab,
             eval_drum_vocab=entry.eval_drum_vocab,
-            batch_size=args.batch_size, subtask=args.subtask)
+            batch_size=args.batch_size, subtask=args.subtask,
+            beam_size=args.beam_size)
         results[entry.dataset] = res
         print("  " + " ".join(f"{k}={v:.4f}" for k, v in res.items()))
     if args.output_json:

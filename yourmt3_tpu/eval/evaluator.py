@@ -30,6 +30,7 @@ def evaluate_file_dataset(
     verbose: bool = True,
     mesh=None,  # jax.sharding.Mesh → chunk-parallel song streaming
     segments_per_device: int = 2,
+    beam_size: int = 1,  # >1: batched beam search per segment
 ) -> Dict[str, float]:
     """→ macro-averaged metric dict over the dataset's tracks.
 
@@ -45,6 +46,9 @@ def evaluate_file_dataset(
     total_err = 0
     for track_id, segments, start_times, ref_notes in dataset:
         if mesh is not None:
+            if beam_size > 1:
+                raise ValueError("beam_size>1 is not supported on the "
+                                 "chunk-parallel mesh path; use mesh=None")
             from ..parallel.chunk_stream import transcribe_song_chunk_parallel
             # chunk_stream re-slices the flat song on device, so this path
             # is only valid for contiguous non-overlapping dataset slicing;
@@ -66,7 +70,8 @@ def evaluate_file_dataset(
             # (no flatten→re-slice round trip assuming contiguity)
             est_notes, err = transcribe_segments_array(
                 bundle, segments, start_times,
-                batch_size=batch_size, subtask=subtask)
+                batch_size=batch_size, subtask=subtask,
+                beam_size=beam_size)
         total_err += err.total()
         ref = bundle.task_manager.remap_notes(ref_notes)
         s = metrics.update(ref, est_notes)
