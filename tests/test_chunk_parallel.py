@@ -64,6 +64,23 @@ class TestEvalSweepChunkParallel:
         for k in single:
             assert single[k] == pytest.approx(sharded[k], abs=1e-9), k
 
+    def test_eval_beam_size_passthrough_and_mesh_exclusion(self):
+        """evaluate_file_dataset(beam_size>1) must decode through the beam
+        path (single-device), and the chunk-parallel mesh path must reject
+        beam>1 loudly (it is greedy-only)."""
+        from yourmt3_tpu.eval.evaluator import evaluate_file_dataset
+
+        bundle = init_model("t5_tiny", "mt3_full_plus", audio_cfg=TINY_AUDIO)
+        seg_s = TINY_AUDIO.input_frames / TINY_AUDIO.sample_rate
+        segs = np.zeros((2, TINY_AUDIO.input_frames), np.float32)
+        ds = [("trk", segs, [0.0, seg_s], [])]
+        out = evaluate_file_dataset(bundle, ds, verbose=False, batch_size=2,
+                                    beam_size=2)
+        assert out["num_tracks"] == 1.0
+        with pytest.raises(ValueError, match="beam"):
+            evaluate_file_dataset(bundle, ds, verbose=False,
+                                  mesh=make_mesh(n_data=8), beam_size=2)
+
     def test_mesh_eval_rejects_noncontiguous_slicing(self):
         """The mesh path re-slices the flat song on device, so a dataset
         with overlapping (or otherwise non-grid) segments must be rejected
