@@ -33,8 +33,9 @@ TARGET = 50.0  # audio-seconds/sec/chip (BASELINE.md)
 # Hardware-measured decode-loop tuning (phases × unroll), written by
 # scripts/bench_phase_ablation.py after an on-chip grid sweep. Keyed by
 # "<model_preset>/<task>". Both knobs are token-identical to the default
-# (tested); only the while-loop structure changes, so a stale entry can
-# cost speed but never correctness.
+# (tested) PROVIDED the phase span stays a whole number of unroll groups —
+# greedy_decode asserts (max_length/phases) % unroll == 0 and rejects any
+# entry that would cross a phase boundary mid-unroll.
 TUNING_FILE = "artifacts/decode_tuning.json"
 
 
@@ -138,10 +139,7 @@ def bench_transcribe_path(ckpt: str, song_seconds: float = 120.0,
     bundle = load_checkpoint(ckpt)
     ov = decode_path_overrides(bundle.task_manager.num_decoding_channels,
                                bundle.task_manager.max_token_length)
-    # decode-path overrides never change the param tree: rebuild only the
-    # model object instead of restoring twice (ADVICE r2)
-    from yourmt3_tpu.models.ymt3 import YMT3
-    bundle.model = YMT3(bundle.cfg.replace(**ov))
+    bundle.with_decode_overrides(**ov)  # params unchanged (ADVICE r2)
     sr = bundle.audio_cfg.sample_rate
     rng = np.random.default_rng(0)
     chart = random_chart(rng, song_seconds, density=density)
@@ -178,7 +176,7 @@ def bench_early_exit_regime(ckpt: str, batch_size: int = 16):
     bundle = load_checkpoint(ckpt)
     ov = decode_path_overrides(bundle.task_manager.num_decoding_channels,
                                bundle.task_manager.max_token_length)
-    bundle.model = YMT3(bundle.cfg.replace(**ov))
+    bundle.with_decode_overrides(**ov)
     sr = bundle.audio_cfg.sample_rate
     seg_s = bundle.audio_cfg.segment_seconds
     rng = np.random.default_rng(0)

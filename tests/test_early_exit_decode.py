@@ -81,3 +81,19 @@ def test_phases_match_plain_greedy(kw):
     assert np.array_equal(want, got)
     both = np.asarray(greedy_decode(model, params, mem, L, phases=2, unroll=2))
     assert np.array_equal(want, both)
+
+
+def test_phase_span_must_divide_unroll():
+    """phases×unroll combos whose phase span is NOT a whole number of
+    unroll groups are rejected: the unrolled body would cross the phase
+    boundary and run steps against the previous phase's stale kv_len
+    horizon, silently producing wrong tokens (confirmed by review repro:
+    L=48, phases=3, unroll=6 diverged from the baseline)."""
+    model, params, mem = _bundle()
+    L = 48
+    with pytest.raises(AssertionError):
+        greedy_decode(model, params, mem, L, phases=3, unroll=6)
+    # the boundary-safe neighbor combos still decode identically
+    want = np.asarray(greedy_decode(model, params, mem, L))
+    ok = np.asarray(greedy_decode(model, params, mem, L, phases=3, unroll=2))
+    assert np.array_equal(want, ok)

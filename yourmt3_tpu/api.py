@@ -48,6 +48,15 @@ class ModelBundle:
     def cfg(self) -> ModelConfig:
         return self.model.cfg
 
+    def with_decode_overrides(self, **overrides) -> "ModelBundle":
+        """Rebuild only the model object with decode-path config overrides
+        (kv_quant / use_pallas_decode / …). These change HOW the decode
+        reads its caches, never the param tree, so the restored params are
+        reused as-is — the single home for an invariant previously
+        re-stated at four call sites. Mutates and returns self."""
+        self.model = YMT3(self.cfg.replace(**overrides))
+        return self
+
 
 def fast_decode_overrides(num_channels: int, max_len: int) -> dict:
     """Fastest measured decode path per shape (v5e-1, EVIDENCE.md):

@@ -43,8 +43,7 @@ def main(argv=None) -> None:
 
     bundle = load_checkpoint(args.checkpoint)
     if args.kv_quant is not None:
-        from ..models.ymt3 import YMT3
-        bundle.model = YMT3(bundle.cfg.replace(kv_quant=args.kv_quant))
+        bundle.with_decode_overrides(kv_quant=args.kv_quant)
     preset = get_data_preset(args.data_preset)
     results = {}
     for entry, idx in zip(preset.entries, preset.index_files(args.split)):

@@ -63,11 +63,10 @@ def main(argv=None) -> None:
         # second restore doubled load time + peak host memory (ADVICE r2).
         bundle = load_checkpoint(args.checkpoint)
         if args.decode_path == "fast":
-            from ..models.ymt3 import YMT3
             ov = fast_decode_overrides(
                 bundle.task_manager.num_decoding_channels,
                 bundle.task_manager.max_token_length)
-            bundle.model = YMT3(bundle.cfg.replace(**ov))
+            bundle.with_decode_overrides(**ov)
             print("note: --decode-path fast (int8 KV) is active — outputs "
                   "can differ from the exact bf16 path by ≤0.7 onset-F1 pts")
     else:

@@ -83,6 +83,17 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 
+    def __post_init__(self):
+        if self.kv_quant == "int4" and self.use_pallas_decode:
+            # the paged Pallas path has no int4 kernel: decode_step would
+            # hand its ('table', rel_bias) marker to int4_decode_attention,
+            # which expects an additive bias array → TypeError under jit.
+            # Reject the combination at config time instead.
+            raise ValueError(
+                "kv_quant='int4' has no paged Pallas kernel; use "
+                "use_pallas_decode=False (dense int4) or kv_quant='int8'/"
+                "'int8c4' for the paged path")
+
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)
 

@@ -58,11 +58,26 @@ def download(url: str, dest: str, sha256: Optional[str] = None,
         if start and e.code == 416:
             # A fully-downloaded .part left behind (death between write
             # and rename) makes Range: bytes=<size>- unsatisfiable. Treat
-            # the .part as complete — the checksum below still gates it.
-            if sha256 is not None and sha256_file(part) != sha256:
-                os.remove(part)  # truly bad partial: full refetch
-                return download(url, dest, sha256, resume=False,
-                                chunk=chunk, progress=progress)
+            # the .part as complete only if something validates it: the
+            # checksum when given, else the server's Content-Length — a
+            # stale .part that merely happens to be >= the (changed)
+            # remote file must not be promoted silently.
+            if sha256 is not None:
+                if sha256_file(part) != sha256:
+                    os.remove(part)  # truly bad partial: full refetch
+                    return download(url, dest, sha256, resume=False,
+                                    chunk=chunk, progress=progress)
+            else:
+                try:
+                    head = urllib.request.Request(url, method="HEAD")
+                    with urllib.request.urlopen(head) as hr:
+                        want = int(hr.headers.get("Content-Length", -1))
+                except (urllib.error.URLError, ValueError):
+                    want = -1
+                if want >= 0 and os.path.getsize(part) != want:
+                    os.remove(part)  # stale partial from an older remote
+                    return download(url, dest, sha256, resume=False,
+                                    chunk=chunk, progress=progress)
             os.replace(part, dest)
             return dest
         raise DownloadError(f"cannot fetch {url}: {e}") from e

@@ -61,6 +61,13 @@ def greedy_decode(
     start = cfg.decoder_start_token_id
     assert max_length % unroll == 0, (max_length, unroll)
     assert max_length % phases == 0, (max_length, phases)
+    # Each phase's while-loop must also step in whole unroll groups: if the
+    # phase span is not a multiple of unroll, the unrolled body crosses the
+    # phase boundary and runs steps against the PREVIOUS phase's stale
+    # kv_len horizon — excluding freshly written K/V rows from
+    # self-attention and silently producing wrong tokens (found by review:
+    # phases=3, unroll=6, max_length=48 diverges from the baseline).
+    assert (max_length // phases) % unroll == 0, (max_length, phases, unroll)
 
     cross_kvs = model.apply(params, memory, method=YMT3.init_cross_kv)
     self_kvs = model.empty_self_kvs(BS, max_length)

@@ -114,9 +114,15 @@ def int8_decode_attention(q: jnp.ndarray,  # (S, H, 1, dk) float
 
     Staging dtype: the int8 operands are cast to BF16, not fp32 — int8
     values (≤127) are exactly representable in bf16 (8 mantissa bits), so
-    the K dot is bit-equivalent to the fp32 cast at HALF the VMEM staging
-    bytes (the measured flagship decode overhead is staging, not FLOPs);
-    both dots still accumulate in fp32 via preferred_element_type."""
+    staging K/V costs no precision at HALF the VMEM bytes (the measured
+    flagship decode overhead is staging, not FLOPs); both dots accumulate
+    fp32 via preferred_element_type. Two inputs ARE rounded to bf16 and
+    were not in the earlier fp32-einsum version: q (a no-op on bf16
+    compute configs, a real rounding on fp32 ones) and the softmax
+    weights × v_s product (~0.4% relative). That noise is the same order
+    as the int8 rounding this path accepts by construction; parity-
+    critical decodes use kv_quant="none". Quality re-measured on the
+    trained flagship: int8 within 0.5 onset-F1 pts of exact."""
     logits = jax.lax.dot_general(
         q.astype(jnp.bfloat16), k_q.astype(jnp.bfloat16),
         dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),

@@ -9,6 +9,7 @@ rebuild the exact bundle.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 from typing import Any, Optional
@@ -31,7 +32,6 @@ def save_bundle(path: str, bundle, step: int = 0,
     if opt_state is not None:
         ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
     ckptr.wait_until_finished()
-    import dataclasses
     meta = {
         "model_preset": bundle.cfg.name,
         "task": bundle.task_manager.task.name,
@@ -74,9 +74,20 @@ def restore_bundle(path: str, model_preset: Optional[str] = None,
         # alone would lose. Ignore unknown keys so configs written by a
         # newer code version still load.
         from ..config.model import ModelConfig
-        known = {f.name for f in __import__("dataclasses").fields(ModelConfig)}
-        model_cfg = ModelConfig(
-            **{k: v for k, v in meta["model"].items() if k in known})
+        known = {f.name for f in dataclasses.fields(ModelConfig)}
+        kw = {k: v for k, v in meta["model"].items() if k in known}
+        # Back-compat: checkpoints written before encoder_abs_pos existed
+        # were trained WITHOUT the absolute sinusoid the new default adds
+        # to the Perceiver-TF forward — restoring them under the new
+        # default would silently change their forward pass. Missing key =
+        # old behavior ("none"); the fix applies only to configs that
+        # recorded it.
+        if (kw.get("encoder_type") == "perceiver-tf"
+                and "encoder_abs_pos" not in meta["model"]):
+            kw["encoder_abs_pos"] = "none"
+            print("note: pre-encoder_abs_pos checkpoint — restoring with "
+                  "encoder_abs_pos='none' to match its training forward")
+        model_cfg = ModelConfig(**kw)
     bundle = init_model(preset, task, audio_cfg, model_cfg=model_cfg,
                         **cfg_overrides)
     ckptr = ocp.StandardCheckpointer()

@@ -117,6 +117,16 @@ def train(
             state = state._replace(
                 opt_state=jax.tree_util.tree_map(jnp.asarray, opt),
                 step=jnp.asarray(start_step, jnp.int32))
+        elif start_step > 0:
+            # meta says step=N but there is no optimizer state to restore:
+            # fast-forwarding the loop while the LR schedule restarts at 0
+            # would be a silently inconsistent hybrid (mid-warmup LR at the
+            # end of the run). Refuse instead of guessing.
+            raise ValueError(
+                f"{resume_from} has metadata step={start_step} but no "
+                "opt_state/ directory — cannot resume consistently. Either "
+                "resume from a trainer-written checkpoint (which saves "
+                "opt_state) or start a fresh run from these params.")
         print(f"resuming at step {start_step} from {resume_from}")
     if n_data_shards is None:
         # auto: largest device count that divides the batch size
@@ -139,9 +149,12 @@ def train(
         state = replicate(mesh, state)
         for step in range(start_step + 1, total_steps + 1):
             if guard.preempted:
-                print(f"preemption at step {step}: writing final checkpoint")
+                # step N has NOT executed yet: params/opt_state reflect
+                # step-1 completed updates, so record step-1 — resume then
+                # re-runs step N instead of silently skipping it.
+                print(f"preemption before step {step}: writing final checkpoint")
                 bundle.params = jax.device_get(state.params)
-                save_bundle(os.path.join(ckpt_dir, "last"), bundle, step,
+                save_bundle(os.path.join(ckpt_dir, "last"), bundle, step - 1,
                             opt_state=jax.device_get(state.opt_state))
                 break
             batch = next(batch_iter)
