@@ -2,7 +2,8 @@
 
 import numpy as np
 
-from yourmt3_tpu.config.vocabulary import GM_INSTR_CLASS, GM_DRUM_8CLASS
+from yourmt3_tpu.config.vocabulary import (GM_INSTR_CLASS, GM_INSTR_CLASS_MC12,
+                                            GM_DRUM_8CLASS)
 from yourmt3_tpu.eval.metrics import AMTMetrics, evaluate_track
 from yourmt3_tpu.tokens import Note, midi2note, note_event2midi
 
@@ -190,3 +191,36 @@ class TestDatasetEvalVocabs:
         arr = v.program_to_class_array()
         assert arr[0] == arr[6]   # piano incl. harpsichord
         assert arr[40] != arr[42]  # violin vs cello separate
+
+
+class TestPerClassBreakdown:
+    def test_per_class_counts_and_micro_aggregation(self):
+        # Piano note matched, Guitar note missed, one spurious Guitar est
+        ref = [Note(False, 0, 1.0, 2.0, 60, 90),
+               Note(False, 25, 3.0, 4.0, 64, 90)]
+        est = [Note(False, 0, 1.0, 2.0, 60, 90),
+               Note(False, 25, 5.0, 6.0, 64, 90)]
+        m = AMTMetrics(GM_INSTR_CLASS)
+        m.update(ref, est)
+        m.update(ref, est)  # second identical track: counts double
+        pc = m.compute_per_class()
+        assert pc["Piano"]["f1"] == 1.0 and pc["Piano"]["n_ref"] == 2
+        assert pc["Guitar"]["f1"] == 0.0
+        assert pc["Guitar"]["n_ref"] == 2 and pc["Guitar"]["n_est"] == 2
+        # classes absent from ref AND est never appear
+        assert "Strings" not in pc
+        # scalar compute() is unaffected by the dict field
+        scal = m.compute()
+        assert all(isinstance(v, float) for v in scal.values())
+
+    def test_per_class_drums_bucket(self):
+        ref = [Note(True, 128, 1.0, 1.01, 36, 100)]
+        m = AMTMetrics(GM_INSTR_CLASS_MC12)
+        m.update(ref, ref)
+        pc = m.compute_per_class()
+        assert pc["Drums"]["f1"] == 1.0
+
+    def test_per_class_empty_without_vocab(self):
+        m = AMTMetrics()
+        m.update(make_notes(), make_notes())
+        assert m.compute_per_class() == {}

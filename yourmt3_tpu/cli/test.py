@@ -55,7 +55,12 @@ def main(argv=None) -> None:
             batch_size=args.batch_size, subtask=args.subtask,
             beam_size=args.beam_size)
         results[entry.dataset] = res
-        print("  " + " ".join(f"{k}={v:.4f}" for k, v in res.items()))
+        print("  " + " ".join(f"{k}={v:.4f}" for k, v in res.items()
+                              if isinstance(v, float)))
+        for name, row in res.get("per_class", {}).items():
+            print(f"    {name:<14} onset_f1={row['f1']:.4f} "
+                  f"P={row['precision']:.4f} R={row['recall']:.4f} "
+                  f"n_ref={row['n_ref']}")
     if args.output_json:
         with open(args.output_json, "w") as f:
             json.dump(results, f, indent=2)

@@ -83,4 +83,7 @@ def evaluate_file_dataset(
     out = metrics.compute()
     out["decode_errors"] = float(total_err)
     out["num_tracks"] = float(metrics.num_tracks)
+    per_class = metrics.compute_per_class()
+    if per_class:
+        out["per_class"] = per_class  # per-instrument-class onset P/R/F1
     return out

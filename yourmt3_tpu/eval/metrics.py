@@ -89,6 +89,10 @@ class TrackScores:
     onset_recall: Optional[float] = None
     multi_precision: Optional[float] = None
     multi_recall: Optional[float] = None
+    # per-class onset match counts {class_name: (n_match, n_ref, n_est)} —
+    # raw counts (not rates) so tracks micro-aggregate; excluded from the
+    # scalar macro-averaging in AMTMetrics.compute()
+    class_counts: Optional[Dict[str, Tuple[int, int, int]]] = None
 
 
 def evaluate_track(
@@ -143,6 +147,20 @@ def evaluate_track(
             s.multi_precision, s.multi_recall, s.multi_f1 = precision_recall_f1(
                 m, len(rt), len(et))
 
+    # per-class onset F1 (diagnostic breakdown of multi_f1: same
+    # class-qualified matching, micro within each class; reference test.py
+    # prints per-dataset tables — this is the per-instrument-class row set)
+    if eval_program_vocab is not None:
+        s.class_counts = {}
+        names = eval_program_vocab.class_names()
+        for c, name in enumerate(names):
+            rc = [t for t in rt if t[2] // 1000 == c]
+            ec = [t for t in et if t[2] // 1000 == c]
+            if not (rc or ec):
+                continue
+            m = _match_count(rc, ec, onset_tolerance, with_offset=False)
+            s.class_counts[name] = (m, len(rc), len(ec))
+
     # drums
     if ref_d or est_d:
         if eval_drum_vocab is not None:
@@ -184,10 +202,31 @@ class AMTMetrics:
             return {}
         out: Dict[str, float] = {}
         for f in dataclasses.fields(TrackScores):
+            if f.name == "class_counts":
+                continue
             vals = [getattr(t, f.name) for t in self._tracks]
             vals = [v for v in vals if v is not None]
             if vals:
                 out[f.name] = float(np.mean(vals))
+        return out
+
+    def compute_per_class(self) -> Dict[str, Dict[str, float]]:
+        """Per-instrument-class onset P/R/F1, micro-aggregated across
+        tracks (raw match/ref/est counts summed, then one P/R/F1 per
+        class — stable for classes that are rare on any single track).
+        {} when no eval_program_vocab was set."""
+        agg: Dict[str, List[int]] = {}
+        for t in self._tracks:
+            for name, (m, nr, ne) in (t.class_counts or {}).items():
+                a = agg.setdefault(name, [0, 0, 0])
+                a[0] += m
+                a[1] += nr
+                a[2] += ne
+        out: Dict[str, Dict[str, float]] = {}
+        for name, (m, nr, ne) in agg.items():
+            p, r, f = precision_recall_f1(m, nr, ne)
+            out[name] = {"precision": round(p, 4), "recall": round(r, 4),
+                         "f1": round(f, 4), "n_ref": nr, "n_est": ne}
         return out
 
     @property
