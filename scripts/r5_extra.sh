@@ -11,7 +11,7 @@
 set -u
 cd /root/repo
 LOG=/tmp/r5_extra.log
-ROUND_END=1787097055
+ROUND_END=1787100000
 mark() { echo "$(date -u +%H:%M:%S) $*" >> "$LOG"; }
 
 while ! grep -q "STAGE3 DONE" /tmp/r5_stage3.log 2>/dev/null; do
