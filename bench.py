@@ -93,14 +93,15 @@ def measure(bundle, batch, max_length, n_iters=3, ban_eos=True, unroll=1, phases
     return batch * ac.segment_seconds / med, med
 
 
-def bench_config(model_preset, task, batch, max_length=None, n_iters=3):
-    bundle_overrides = None
+def bench_config(model_preset, task, batch, max_length=None, n_iters=3,
+                 extra_overrides=None):
     from yourmt3_tpu.tokens.task_manager import TaskManager
     from yourmt3_tpu.config.audio import DEFAULT_AUDIO
     tm = TaskManager(task, DEFAULT_AUDIO)
     L = tm.max_token_length if max_length is None else min(
         max_length, tm.max_token_length)
     ov = decode_path_overrides(tm.num_decoding_channels, L)
+    ov.update(extra_overrides or {})
     bundle = build(model_preset, task, ov)
     tune = load_decode_tuning().get(f"{model_preset}/{task}", {})
     phases, unroll = tune.get("phases", 1), tune.get("unroll", 1)
@@ -123,7 +124,7 @@ def bench_config(model_preset, task, batch, max_length=None, n_iters=3):
 
 def bench_transcribe_path(ckpt: str, song_seconds: float = 120.0,
                           batch_size: int = 16, early_exit: bool = False,
-                          density: float = 3.0):
+                          density: float = 3.0, extra_overrides=None):
     # early_exit=False default: the plain decode already stops when ALL
     # streams finish; chunked per-stream compaction only wins when decode
     # lengths are long AND variable (measured: 71.6 vs 33.7 audio-s/s on
@@ -139,6 +140,7 @@ def bench_transcribe_path(ckpt: str, song_seconds: float = 120.0,
     bundle = load_checkpoint(ckpt)
     ov = decode_path_overrides(bundle.task_manager.num_decoding_channels,
                                bundle.task_manager.max_token_length)
+    ov.update(extra_overrides or {})
     bundle.with_decode_overrides(**ov)  # params unchanged (ADVICE r2)
     sr = bundle.audio_cfg.sample_rate
     rng = np.random.default_rng(0)
@@ -220,6 +222,7 @@ def main():
     regime = False
     tbatch = 16
     density = 3.0
+    extra = {}
     for a in sys.argv[1:]:
         if a.startswith("--transcribe-ckpt="):
             ckpt = a.split("=", 1)[1]
@@ -231,13 +234,16 @@ def main():
             tbatch = int(a.split("=", 1)[1])
         elif a.startswith("--song-density="):
             density = float(a.split("=", 1)[1])
+        elif a.startswith("--weight-quant="):
+            extra["weight_quant"] = a.split("=", 1)[1]
     if ckpt:
         if regime:
             rows = bench_early_exit_regime(ckpt, batch_size=tbatch)
             print(json.dumps(rows))
             return
         row = bench_transcribe_path(ckpt, batch_size=tbatch,
-                                    early_exit=early_exit, density=density)
+                                    early_exit=early_exit, density=density,
+                                    extra_overrides=extra)
         print(json.dumps(row))
         return
 
@@ -256,17 +262,19 @@ def main():
     if matrix_mode:
         rows = [
             # BASELINE config 1: t5_small, single segment
-            bench_config("t5_small", "mt3_full_plus", 1),
+            bench_config("t5_small", "mt3_full_plus", 1, extra_overrides=extra),
             # throughput-shape t5_small (round-1 headline shape)
-            bench_config("t5_small", "mt3_full_plus", 16),
+            bench_config("t5_small", "mt3_full_plus", 16, extra_overrides=extra),
             # BASELINE config 2: t5_base, batch-64 chunked full song
-            bench_config("t5_base", "mt3_full_plus", 64),
+            bench_config("t5_base", "mt3_full_plus", 64, extra_overrides=extra),
             # BASELINE config 4: drum-vocab decode path
-            bench_config("t5_small", "drums_only", 16),
+            bench_config("t5_small", "drums_only", 16, extra_overrides=extra),
             # MoE-FF flagship variant (YourMT3+ named feature, SURVEY C22)
-            bench_config("perceiver_tf_mc13_moe", "mc13_full_plus_256", 16),
+            bench_config("perceiver_tf_mc13_moe", "mc13_full_plus_256", 16,
+                         extra_overrides=extra),
             # BASELINE config 3 (flagship/headline)
-            bench_config("perceiver_tf_mc13", "mc13_full_plus_256", 16),
+            bench_config("perceiver_tf_mc13", "mc13_full_plus_256", 16,
+                         extra_overrides=extra),
         ]
         with open("BENCH_MATRIX.json", "w") as f:
             json.dump(rows, f, indent=1)
@@ -274,7 +282,7 @@ def main():
             print(json.dumps(r), file=sys.stderr)
         head = rows[-1]
     else:
-        head = bench_config(model_preset, task, batch)
+        head = bench_config(model_preset, task, batch, extra_overrides=extra)
 
     print(json.dumps({
         "metric": (f"full_song_transcription_throughput"

@@ -50,11 +50,21 @@ class ModelBundle:
 
     def with_decode_overrides(self, **overrides) -> "ModelBundle":
         """Rebuild only the model object with decode-path config overrides
-        (kv_quant / use_pallas_decode / …). These change HOW the decode
-        reads its caches, never the param tree, so the restored params are
-        reused as-is — the single home for an invariant previously
-        re-stated at four call sites. Mutates and returns self."""
+        (kv_quant / use_pallas_decode / weight_quant / …). These change HOW
+        the decode reads its caches and weights, never the param tree, so
+        the restored params are reused as-is — the single home for an
+        invariant previously re-stated at four call sites. Also syncs the
+        derived `qweights` collection (ops/weight_quant.py) with the
+        current weight_quant mode. Mutates and returns self."""
         self.model = YMT3(self.cfg.replace(**overrides))
+        mode = self.model.cfg.weight_quant
+        params = dict(self.params)
+        if mode != "none":
+            from .ops.weight_quant import quantize_decoder_weights
+            params["qweights"] = quantize_decoder_weights(params, mode)
+        else:
+            params.pop("qweights", None)
+        self.params = params
         return self
 
 
@@ -89,7 +99,10 @@ def init_model(model_preset: str = "t5_small", task: str = "mt3_full_plus",
     feats = jnp.zeros((1, audio_cfg.num_frames, audio_cfg.num_feature_bins))
     ids = jnp.zeros((1, cfg.num_channels, 8), jnp.int32)
     params = model.init(jax.random.PRNGKey(seed), feats, ids)
-    return ModelBundle(model, params, fe, tm, audio_cfg)
+    bundle = ModelBundle(model, params, fe, tm, audio_cfg)
+    if cfg.weight_quant != "none":
+        bundle.with_decode_overrides()  # attach the qweights collection
+    return bundle
 
 
 def load_checkpoint(path: str, model_preset: Optional[str] = None,

@@ -78,12 +78,25 @@ class ModelConfig:
     # int4 (the dominant reads of short multi-channel decodes).
     # "none" | "int8" | "int8c4" | "int4".
     kv_quant: str = "none"
+    # Quantized DECODER WEIGHTS for decode (ops/weight_quant.py): after
+    # quantized KV caches, weights are the remaining per-step HBM traffic
+    # (measured 17% of t5_base step bytes). "bf16" is numerically
+    # identical to the normal path (Dense casts fp32→bf16 pre-dot anyway)
+    # but guarantees 2-byte reads in the decode loop; "int8" halves that
+    # again with per-output-channel scales (~0.4% relative weight error).
+    # Decode-time only — training and checkpoints always use the fp32
+    # master weights. "none" | "bf16" | "int8".
+    weight_quant: str = "none"
 
     # dtypes
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 
     def __post_init__(self):
+        if self.weight_quant not in ("none", "bf16", "int8"):
+            raise ValueError(
+                f"weight_quant must be 'none'|'bf16'|'int8', "
+                f"got {self.weight_quant!r}")
         if self.kv_quant == "int4" and self.use_pallas_decode:
             # the paged Pallas path has no int4 kernel: decode_step would
             # hand its ('table', rel_bias) marker to int4_decode_attention,

@@ -84,6 +84,44 @@ class RelativePositionBias(nn.Module):
         return jnp.transpose(bias, (2, 0, 1))[None].astype(self.dtype)
 
 
+class QuantDense(nn.Module):
+    """Bias-free Dense that prefers a quantized side-car kernel.
+
+    Without a `qweights` collection in scope this is bit-identical to
+    `nn.Dense(features, use_bias=False, dtype=dtype)` — same param name
+    ("kernel"), same fp32 param dtype, same promote-then-dot numerics —
+    so training, checkpoints, and the weight importer are unaffected.
+
+    When the caller applies the model with
+    `{"params": p, "qweights": quantize_decoder_weights(p, mode)}`
+    (ops/weight_quant.py), the module reads its int8/bf16 `kernel_q`
+    instead: HBM weight reads drop to 1–2 bytes/element inside the
+    decode while-loop, and the per-output-channel dequant scale fuses
+    into the matmul output. The fp32 master kernel goes unread, so XLA
+    dead-code-eliminates its loads."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        contract = ((x.ndim - 1,), (0,)), ((), ())
+        if self.has_variable("qweights", "kernel_q"):
+            wq = self.get_variable("qweights", "kernel_q")
+            y = jax.lax.dot_general(x.astype(self.dtype),
+                                    wq.astype(self.dtype), contract)
+            if self.has_variable("qweights", "kernel_scale"):
+                sc = self.get_variable("qweights", "kernel_scale")
+                y = (y.astype(jnp.float32) * sc).astype(self.dtype)
+            return y
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), jnp.float32)
+        from flax.linen.dtypes import promote_dtype
+        x, kernel = promote_dtype(x, kernel, dtype=self.dtype)
+        return jax.lax.dot_general(x, kernel, contract)
+
+
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """(B,H,Tq,D),(B,H,Tk,D),(B,H,Tk,Dv)[,(·,H,Tq,Tk)] → (B,H,Tq,Dv).
@@ -113,14 +151,14 @@ class MultiHeadAttention(nn.Module):
     def setup(self):
         d_inner = self.num_heads * self.d_kv
         kinit = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
-        self.q = nn.Dense(d_inner, use_bias=False, dtype=self.dtype,
-                          kernel_init=kinit, name="q")
-        self.k = nn.Dense(d_inner, use_bias=False, dtype=self.dtype,
-                          kernel_init=kinit, name="k")
-        self.v = nn.Dense(d_inner, use_bias=False, dtype=self.dtype,
-                          kernel_init=kinit, name="v")
-        self.o = nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
-                          kernel_init=kinit, name="o")
+        self.q = QuantDense(d_inner, dtype=self.dtype,
+                            kernel_init=kinit, name="q")
+        self.k = QuantDense(d_inner, dtype=self.dtype,
+                            kernel_init=kinit, name="k")
+        self.v = QuantDense(d_inner, dtype=self.dtype,
+                            kernel_init=kinit, name="v")
+        self.o = QuantDense(self.d_model, dtype=self.dtype,
+                            kernel_init=kinit, name="o")
 
     def _split(self, x: jnp.ndarray) -> jnp.ndarray:
         b, t, _ = x.shape
@@ -204,18 +242,18 @@ class FeedForward(nn.Module):
         kinit = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
         if self.act.startswith("gated-"):
             a = ACTIVATIONS[self.act.split("-")[1]]
-            g = nn.Dense(self.d_ff, use_bias=False, dtype=self.dtype,
-                         kernel_init=kinit, name="wi_0")(x)
-            h = nn.Dense(self.d_ff, use_bias=False, dtype=self.dtype,
-                         kernel_init=kinit, name="wi_1")(x)
+            g = QuantDense(self.d_ff, dtype=self.dtype,
+                           kernel_init=kinit, name="wi_0")(x)
+            h = QuantDense(self.d_ff, dtype=self.dtype,
+                           kernel_init=kinit, name="wi_1")(x)
             y = a(g) * h
         else:
             y = ACTIVATIONS[self.act](
-                nn.Dense(self.d_ff, use_bias=False, dtype=self.dtype,
-                         kernel_init=kinit, name="wi")(x))
+                QuantDense(self.d_ff, dtype=self.dtype,
+                           kernel_init=kinit, name="wi")(x))
         y = nn.Dropout(self.dropout_rate)(y, deterministic=deterministic)
-        return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
-                        kernel_init=kinit, name="wo")(y)
+        return QuantDense(self.d_model, dtype=self.dtype,
+                          kernel_init=kinit, name="wo")(y)
 
 
 class MoEFeedForward(nn.Module):

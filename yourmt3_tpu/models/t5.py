@@ -23,8 +23,8 @@ from flax import linen as nn
 
 from ..config.model import ModelConfig
 from .layers import (NEG_INF, FeedForward, MoEFeedForward, MultiHeadAttention,
-                     RMSNorm, RelativePositionBias, dot_product_attention,
-                     relative_position_bucket)
+                     QuantDense, RMSNorm, RelativePositionBias,
+                     dot_product_attention, relative_position_bucket)
 
 Dtype = Any
 KV = Tuple[jnp.ndarray, jnp.ndarray]
@@ -281,8 +281,7 @@ class T5Decoder(nn.Module):
         self.layers = [T5DecoderLayer(c, name=f"layer_{i}")
                        for i in range(c.num_decoder_layers)]
         self.final_norm = RMSNorm(dtype=dt, name="final_norm")
-        self.lm_head = nn.Dense(c.vocab_size, use_bias=False, dtype=dt,
-                                name="lm_head")
+        self.lm_head = QuantDense(c.vocab_size, dtype=dt, name="lm_head")
         self.drop = nn.Dropout(c.dropout_rate)
 
     def _causal_bias(self, L: int) -> jnp.ndarray:

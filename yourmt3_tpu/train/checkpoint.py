@@ -28,7 +28,10 @@ def save_bundle(path: str, bundle, step: int = 0,
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(path, "params"), bundle.params, force=True)
+    # persist ONLY the master params: derived collections (weight_quant's
+    # "qweights" side-car) are rebuilt from them at restore time
+    ckptr.save(os.path.join(path, "params"),
+               {"params": bundle.params["params"]}, force=True)
     if opt_state is not None:
         ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
     ckptr.wait_until_finished()
@@ -91,13 +94,19 @@ def restore_bundle(path: str, model_preset: Optional[str] = None,
     bundle = init_model(preset, task, audio_cfg, model_cfg=model_cfg,
                         **cfg_overrides)
     ckptr = ocp.StandardCheckpointer()
-    target = jax.tree_util.tree_map(np.asarray, bundle.params)
+    # restore target = the "params" collection only: derived collections
+    # (e.g. the weight_quant "qweights" side-car) are never checkpointed
+    target = jax.tree_util.tree_map(
+        np.asarray, {"params": bundle.params["params"]})
     restored = ckptr.restore(os.path.join(path, "params"), target)
     # device-resident params: orbax hands back host numpy arrays, and a
     # numpy param tree is re-uploaded host→device on EVERY jitted call
     # (measured ~0.5 s/call for a 15 M-param model on this host — it
     # silently dominated the transcribe path)
     bundle.params = jax.tree_util.tree_map(jnp.asarray, restored)
+    if bundle.cfg.weight_quant != "none":
+        # rebuild the derived quantized weights from the RESTORED params
+        bundle.with_decode_overrides()
     return bundle
 
 
