@@ -23,13 +23,20 @@ def main():
     tune = bench.load_decode_tuning().get(
         "perceiver_tf_mc13/mc13_full_plus_256", {})
     phases, unroll = tune.get("phases", 1), tune.get("unroll", 1)
+    # kv format × decoder-weight format (ops/weight_quant.py). wq="bf16"
+    # on one row isolates whether XLA was already hoisting the fp32→bf16
+    # weight convert out of the while-loop (bf16 == none ⇒ it was).
+    combos = [("int8", "none"), ("int8", "bf16"), ("int8", "int8"),
+              ("int8c4", "none"), ("int8c4", "int8"),
+              ("int4", "none"), ("int4", "int8")]
     with open(OUT, "a") as f:
-        for kv in ("int8", "int8c4", "int4"):
+        for kv, wq in combos:
             bundle = bench.build("perceiver_tf_mc13", "mc13_full_plus_256",
-                                 {"kv_quant": kv})
+                                 {"kv_quant": kv, "weight_quant": wq})
             thr, lat = bench.measure(bundle, 16, 256, n_iters=3,
                                      phases=phases, unroll=unroll)
-            row = {"kv_quant": kv, "phases": phases, "unroll": unroll,
+            row = {"kv_quant": kv, "weight_quant": wq,
+                   "phases": phases, "unroll": unroll,
                    "audio_s_per_s": round(thr, 3),
                    "batch_ms": round(lat * 1e3, 1),
                    "vs_baseline": round(thr / bench.TARGET, 4)}
