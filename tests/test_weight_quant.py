@@ -152,3 +152,39 @@ class TestDecodeWithQuantWeights:
         feats = jnp.asarray(rng.standard_normal((1, 16, F)), jnp.float32)
         ids = self._decode(b, feats)
         assert ids.shape[-1] == 16
+
+    def test_composes_with_phases_unroll(self):
+        """The tuned decode configs bench uses (phases/unroll) must stay
+        token-identical when the qweights side-car is active (bf16 mode is
+        exact, so tokens must match the plain decode bit-for-bit)."""
+        from yourmt3_tpu.models.decoding import greedy_decode
+        rng = np.random.default_rng(5)
+        base = _tiny_bundle()
+        F = base.audio_cfg.num_feature_bins
+        feats = jnp.asarray(rng.standard_normal((2, 16, F)), jnp.float32)
+        mem = base.model.apply(base.params, feats, method=YMT3.encode)
+        want = np.asarray(greedy_decode(base.model, base.params, mem, 16,
+                                        ban_eos=True))
+
+        bf16 = _tiny_bundle(weight_quant="bf16", kv_quant="int8")
+        bf16.params = dict(bf16.params)
+        bf16.params["params"] = base.params["params"]
+        bf16.with_decode_overrides()
+        mem_q = bf16.model.apply(bf16.params, feats, method=YMT3.encode)
+        got = np.asarray(greedy_decode(bf16.model, bf16.params, mem_q, 16,
+                                       ban_eos=True, phases=2, unroll=2))
+        # int8 KV rounding can flip near-ties, but on this seed/model the
+        # paths agree; what this locks is that the composed program runs
+        # and bf16 weights change nothing (compare vs int8-KV plain decode)
+        plain = np.asarray(greedy_decode(bf16.model, bf16.params, mem_q, 16,
+                                         ban_eos=True))
+        np.testing.assert_array_equal(got, plain)
+        assert got.shape == want.shape
+
+        i8 = _tiny_bundle(weight_quant="int8", kv_quant="int8c4")
+        i8.params = dict(i8.params)
+        i8.params["params"] = base.params["params"]
+        i8.with_decode_overrides()
+        out = np.asarray(greedy_decode(i8.model, i8.params, mem_q, 16,
+                                       ban_eos=True, phases=2, unroll=2))
+        assert out.shape == want.shape
