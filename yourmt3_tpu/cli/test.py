@@ -27,6 +27,12 @@ def main(argv=None) -> None:
                    help="override the decode KV-cache format (quality/"
                         "throughput trade; params are unchanged, only the "
                         "model object is rebuilt)")
+    p.add_argument("--weight-quant", default=None,
+                   choices=("none", "bf16", "int8"),
+                   help="override the decoder-weight decode format "
+                        "(ops/weight_quant.py; bf16 is numerically exact, "
+                        "int8 trades ~0.4%% weight rounding for halved "
+                        "weight HBM reads)")
     p.add_argument("--beam-size", type=int, default=1,
                    help="per-segment batched beam search (1 = greedy, "
                         "the reference default)")
@@ -42,8 +48,13 @@ def main(argv=None) -> None:
     from ..eval.evaluator import evaluate_file_dataset
 
     bundle = load_checkpoint(args.checkpoint)
+    ov = {}
     if args.kv_quant is not None:
-        bundle.with_decode_overrides(kv_quant=args.kv_quant)
+        ov["kv_quant"] = args.kv_quant
+    if args.weight_quant is not None:
+        ov["weight_quant"] = args.weight_quant
+    if ov:
+        bundle.with_decode_overrides(**ov)
     preset = get_data_preset(args.data_preset)
     results = {}
     for entry, idx in zip(preset.entries, preset.index_files(args.split)):

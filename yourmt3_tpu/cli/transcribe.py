@@ -36,6 +36,11 @@ def main(argv=None) -> None:
     p.add_argument("--beam-size", type=int, default=1,
                    help=">1 decodes with batched beam search (greedy is "
                         "the reference default; beam is a quality knob)")
+    p.add_argument("--weight-quant", default=None,
+                   choices=("none", "bf16", "int8"),
+                   help="decoder-weight decode format (bf16 = exact at "
+                        "halved weight HBM reads; int8 = ~0.4%% weight "
+                        "rounding at a quarter)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -57,23 +62,28 @@ def main(argv=None) -> None:
     if not inputs:
         raise SystemExit("no input files")
 
+    wq = {"weight_quant": args.weight_quant} if args.weight_quant else {}
     if args.checkpoint:
-        # Restore ONCE; kv_quant/use_pallas_decode never change the param
-        # tree, so the fast path only needs a rebuilt model object — a
-        # second restore doubled load time + peak host memory (ADVICE r2).
+        # Restore ONCE; kv_quant/use_pallas_decode/weight_quant never change
+        # the param tree, so the fast path only needs a rebuilt model object
+        # — a second restore doubled load time + peak host memory (ADVICE r2).
         bundle = load_checkpoint(args.checkpoint)
+        ov = dict(wq)
         if args.decode_path == "fast":
-            ov = fast_decode_overrides(
+            ov.update(fast_decode_overrides(
                 bundle.task_manager.num_decoding_channels,
-                bundle.task_manager.max_token_length)
-            bundle.with_decode_overrides(**ov)
+                bundle.task_manager.max_token_length))
+            ov.update(wq)  # explicit flag wins over the fast preset
             print("note: --decode-path fast (int8 KV) is active — outputs "
                   "can differ from the exact bf16 path by ≤0.7 onset-F1 pts")
+        if ov:
+            bundle.with_decode_overrides(**ov)
     else:
         tm = TaskManager(args.task)
         ov = (fast_decode_overrides(tm.num_decoding_channels,
                                     tm.max_token_length)
               if args.decode_path == "fast" else {})
+        ov.update(wq)
         bundle = init_model(args.model, args.task, **ov)
     os.makedirs(args.output_dir, exist_ok=True)
     for path in inputs:
