@@ -97,3 +97,28 @@ def test_phase_span_must_divide_unroll():
     want = np.asarray(greedy_decode(model, params, mem, L))
     ok = np.asarray(greedy_decode(model, params, mem, L, phases=3, unroll=2))
     assert np.array_equal(want, ok)
+
+
+class TestPublicPathIdentity:
+    def test_early_exit_identical_through_api_int8(self):
+        """Regression: the PUBLIC path must produce identical notes with
+        and without early_exit, INCLUDING int8 KV. It once didn't — the
+        plain path fused frontend+encode+decode into one program while
+        early-exit encoded separately; the fusion-order rounding delta in
+        the encoder memory was amplified by int8 KV quantization into
+        argmax flips (mc13_r5 regime bench: 305 vs 539 notes on the same
+        audio). All decode paths now consume api._encode_batch's memory."""
+        import numpy as np
+        from yourmt3_tpu.api import init_model, transcribe_audio_array
+        from yourmt3_tpu.config.audio import AudioConfig
+        ac = AudioConfig()
+        bundle = init_model("t5_tiny", "mt3_midi", audio_cfg=ac,
+                            kv_quant="int8")
+        rng = np.random.default_rng(11)
+        audio = (rng.standard_normal(int(ac.input_frames * 2.5))
+                 .astype(np.float32) * 0.1)
+        plain, err_p = transcribe_audio_array(bundle, audio, batch_size=2)
+        early, err_e = transcribe_audio_array(bundle, audio, batch_size=2,
+                                              early_exit=True)
+        assert err_p.total() == err_e.total()
+        assert plain == early

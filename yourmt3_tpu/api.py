@@ -121,39 +121,52 @@ def load_checkpoint(path: str, model_preset: Optional[str] = None,
 
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _encode_batch(model: YMT3, params, frontend: SpectrogramFrontend,
+                  audio: jnp.ndarray) -> jnp.ndarray:
+    """The ONE canonical frontend+encode program for every decode path.
+
+    Module-level jit: one compile per (model, shapes) — NOT per call (an
+    earlier version built fresh jax.jit wrappers inside the per-batch
+    loop, retracing frontend+encoder every batch; ADVICE r2).
+
+    Every decode variant (plain / early-exit / beam) MUST consume memory
+    from this same compiled program: fusing the encoder into a combined
+    encode+decode program changes XLA fusion boundaries and therefore
+    float rounding of the memory, and int8 KV quantization amplifies that
+    epsilon into argmax flips that cascade through autoregressive decode
+    (measured: plain-fused vs early-exit decodes of the SAME audio
+    diverged, while the decoders on the SAME memory are token-identical)."""
+    feats = frontend(audio)
+    return model.apply(params, feats, method=YMT3.encode)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _cross_kv_batch(model: YMT3, params, memory: jnp.ndarray):
+    """The ONE canonical cross-KV projection program (same reasoning as
+    _encode_batch: plain and early-exit decodes must consume bit-identical
+    cross K/V, so the projection cannot be re-fused into either decode
+    program)."""
+    return model.apply(params, memory, method=YMT3.init_cross_kv)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("model", "max_length", "phases"))
-def _transcribe_batch(model: YMT3, params, frontend: SpectrogramFrontend,
-                      audio: jnp.ndarray, max_length: int,
-                      prefix_ids: Optional[jnp.ndarray],
-                      phases: int = 1) -> jnp.ndarray:
-    feats = frontend(audio)
-    memory = model.apply(params, feats, method=YMT3.encode)
+def _decode_batch(model: YMT3, params, memory: jnp.ndarray, cross_kvs,
+                  max_length: int, prefix_ids: Optional[jnp.ndarray],
+                  phases: int = 1) -> jnp.ndarray:
     return greedy_decode(model, params, memory, max_length, prefix_ids,
-                         phases=phases)
+                         phases=phases, cross_kvs=cross_kvs)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("model", "max_length", "beam_size"))
-def _transcribe_batch_beam(model: YMT3, params, frontend: SpectrogramFrontend,
-                           audio: jnp.ndarray, max_length: int,
-                           prefix_ids: Optional[jnp.ndarray],
-                           beam_size: int) -> jnp.ndarray:
+def _decode_batch_beam(model: YMT3, params, memory: jnp.ndarray,
+                       max_length: int, prefix_ids: Optional[jnp.ndarray],
+                       beam_size: int) -> jnp.ndarray:
     from .models.decoding import beam_decode
-    feats = frontend(audio)
-    memory = model.apply(params, feats, method=YMT3.encode)
     return beam_decode(model, params, memory, max_length,
                        beam_size=beam_size, prefix_ids=prefix_ids)
-
-
-@functools.partial(jax.jit, static_argnames=("model",))
-def _encode_batch(model: YMT3, params, frontend: SpectrogramFrontend,
-                  audio: jnp.ndarray) -> jnp.ndarray:
-    """Module-level jit: one compile per (model, shapes) — NOT per call.
-    (An earlier version built fresh jax.jit wrappers inside the per-batch
-    loop, retracing frontend+encoder every batch; ADVICE r2.)"""
-    feats = frontend(audio)
-    return model.apply(params, feats, method=YMT3.encode)
 
 
 def transcribe_segments_array(
@@ -184,20 +197,23 @@ def transcribe_segments_array(
         if pad_n:  # fixed batch shape ⇒ one compiled program
             chunk = np.concatenate(
                 [chunk, np.zeros((pad_n, ac.input_frames), np.float32)])
-        if early_exit:
-            from .models.decoding import greedy_decode_early_exit
-            memory = _encode_batch(bundle.model, bundle.params,
-                                   bundle.frontend, jnp.asarray(chunk))
-            ids = greedy_decode_early_exit(bundle.model, bundle.params,
-                                           memory, L, prefix_ids=prefix_arr)
-        elif beam_size > 1:
-            ids = _transcribe_batch_beam(bundle.model, bundle.params,
-                                         bundle.frontend, jnp.asarray(chunk),
-                                         L, prefix_arr, beam_size)
+        memory = _encode_batch(bundle.model, bundle.params,
+                               bundle.frontend, jnp.asarray(chunk))
+        if beam_size > 1:
+            ids = _decode_batch_beam(bundle.model, bundle.params, memory,
+                                     L, prefix_arr, beam_size)
         else:
-            ids = _transcribe_batch(bundle.model, bundle.params,
-                                    bundle.frontend, jnp.asarray(chunk), L,
-                                    prefix_arr, phases=decode_phases)
+            cross_kvs = _cross_kv_batch(bundle.model, bundle.params, memory)
+            if early_exit:
+                from .models.decoding import greedy_decode_early_exit
+                ids = greedy_decode_early_exit(bundle.model, bundle.params,
+                                               memory, L,
+                                               prefix_ids=prefix_arr,
+                                               cross_kvs=cross_kvs)
+            else:
+                ids = _decode_batch(bundle.model, bundle.params, memory,
+                                    cross_kvs, L, prefix_arr,
+                                    phases=decode_phases)
         all_ids.append(np.asarray(ids)[: batch_size - pad_n if pad_n else batch_size])
     seg_ids = np.concatenate(all_ids, axis=0)  # (S, C, L)
     return tm.detokenize_song(seg_ids, list(start_times))

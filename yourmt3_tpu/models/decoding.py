@@ -53,6 +53,11 @@ def greedy_decode(
     # at XLA's full fused bandwidth. Tokens IDENTICAL (masked positions
     # were never read). Short EOS-early decodes also win: only phase 0's
     # small horizon is ever touched.
+    cross_kvs=None,  # precomputed YMT3.init_cross_kv output. Callers that
+    # compare decode variants MUST pass the same tensors to each: computing
+    # the projection inside different jit programs changes fusion-order
+    # rounding, and int8 KV quantization amplifies that epsilon into argmax
+    # flips (see api._encode_batch).
 ) -> jnp.ndarray:
     """→ (B, C, max_length) int32 token ids (PAD-filled after EOS)."""
     B, C = memory.shape[0], memory.shape[1]
@@ -69,7 +74,8 @@ def greedy_decode(
     # phases=3, unroll=6, max_length=48 diverges from the baseline).
     assert (max_length // phases) % unroll == 0, (max_length, phases, unroll)
 
-    cross_kvs = model.apply(params, memory, method=YMT3.init_cross_kv)
+    if cross_kvs is None:
+        cross_kvs = model.apply(params, memory, method=YMT3.init_cross_kv)
     self_kvs = model.empty_self_kvs(BS, max_length)
 
     P = 0 if prefix_ids is None else int(prefix_ids.shape[0])
@@ -180,6 +186,8 @@ def greedy_decode_early_exit(
     eos_id: int = EOS_ID,
     chunk: int = 64,
     compact_threshold: float = 0.5,
+    cross_kvs=None,  # precomputed YMT3.init_cross_kv output (see
+    # greedy_decode: identical-token comparisons require the SAME tensors)
 ) -> jnp.ndarray:
     """Greedy decode that RETIRES finished streams: decodes in `chunk`-step
     device programs and, between chunks, compacts still-active streams
@@ -195,7 +203,8 @@ def greedy_decode_early_exit(
     S = B * C
     start = model.cfg.decoder_start_token_id
 
-    cross_kvs = model.apply(params, memory, method=YMT3.init_cross_kv)
+    if cross_kvs is None:
+        cross_kvs = model.apply(params, memory, method=YMT3.init_cross_kv)
     self_kvs = model.empty_self_kvs(S, max_length)
     buf = jnp.full((S, max_length + 1), PAD_ID, jnp.int32).at[:, 0].set(start)
     done = jnp.zeros((S,), bool)
