@@ -146,8 +146,13 @@ def bench_transcribe_path(ckpt: str, song_seconds: float = 120.0,
     rng = np.random.default_rng(0)
     chart = random_chart(rng, song_seconds, density=density)
     audio = render_notes(chart, sr, song_seconds, seed=123)
-    # warm (compile)
-    transcribe_audio_array(bundle, audio[: sr * 4], batch_size=batch_size,
+    # warm (compile) on the FULL song shape: the detok extract program and
+    # the final ragged batch chunk compile per shape, so a short warm-up
+    # audio left compiles inside the timed region (steady-state is what a
+    # server delivers; the first-song compile cost is reported nowhere
+    # else but is bounded: decode/encode programs are batch-shaped and
+    # detok extract is bucket-padded)
+    transcribe_audio_array(bundle, audio, batch_size=batch_size,
                            early_exit=early_exit)
     t0 = time.perf_counter()
     notes, err = transcribe_audio_array(bundle, audio, batch_size=batch_size,
@@ -194,8 +199,9 @@ def bench_early_exit_regime(ckpt: str, batch_size: int = 16):
 
     rows = []
     for early in (False, True):
-        transcribe_audio_array(bundle, audio[: sr * 4],
+        transcribe_audio_array(bundle, audio,
                                batch_size=batch_size, early_exit=early)  # warm
+        # full-shape warm: see bench_transcribe_path
         t0 = time.perf_counter()
         notes, err = transcribe_audio_array(bundle, audio,
                                             batch_size=batch_size,

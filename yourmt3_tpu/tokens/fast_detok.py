@@ -108,9 +108,24 @@ class FastDetokenizer:
                           ti["velocity"], ti["tie"], ti["program"], ti["drum"])
 
     def extract(self, ids: np.ndarray) -> Dict[str, np.ndarray]:
-        out = _extract(jnp.asarray(ids), self._id_to_type,
+        # Rows (streams) are independent, so pad the flat row count up to a
+        # power-of-two bucket: _extract's jit cache then hits across songs
+        # of any segment count (compiles are log-bounded per L). Without
+        # this, EVERY new song length recompiled the extract program
+        # (~3 s — more than the flagship's device decode of a 2-min song).
+        ids = np.asarray(ids)
+        L = ids.shape[-1]
+        flat = ids.reshape(-1, L)  # rows stay (s*C + c) flat, as before
+        n = flat.shape[0]
+        padded = 64
+        while padded < n:
+            padded *= 2
+        if padded != n:
+            flat = np.concatenate(
+                [flat, np.zeros((padded - n, L), flat.dtype)])
+        out = _extract(jnp.asarray(flat), self._id_to_type,
                        self._id_to_value, self._type_ids)
-        return {k: np.asarray(v) for k, v in out.items()}
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
 
     # ------------------------------------------------------------------
     def detokenize_song(self, segment_ids: np.ndarray,
