@@ -227,8 +227,11 @@ def transcribe_audio_array(
     """Full-song mono float32 audio → merged notes.
 
     early_exit=True decodes each batch with per-stream retirement
-    (models/decoding.greedy_decode_early_exit) — identical tokens, less
-    wall-clock when segment token lengths vary. decode_phases>1 chunks the
+    (models/decoding.greedy_decode_early_exit) — identical tokens; can
+    save wall-clock for LONG single-channel decodes with variable
+    lengths, but measured to LOSE on the multi-channel flagship (many
+    short streams: compaction gathers cost more than the saved steps),
+    so it stays opt-in. decode_phases>1 chunks the
     dense decode into growing static read horizons (token-identical, less
     HBM traffic; see models/decoding.greedy_decode). beam_size>1 switches
     to batched beam search."""
