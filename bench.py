@@ -102,8 +102,10 @@ def bench_config(model_preset, task, batch, max_length=None, n_iters=3,
         max_length, tm.max_token_length)
     ov = decode_path_overrides(tm.num_decoding_channels, L)
     ov.update(extra_overrides or {})
-    bundle = build(model_preset, task, ov)
     tune = load_decode_tuning().get(f"{model_preset}/{task}", {})
+    if "weight_quant" in tune and "weight_quant" not in ov:
+        ov["weight_quant"] = tune["weight_quant"]
+    bundle = build(model_preset, task, ov)
     phases, unroll = tune.get("phases", 1), tune.get("unroll", 1)
     thr, lat = measure(bundle, batch, L, n_iters, phases=phases,
                        unroll=unroll)

@@ -17,12 +17,17 @@ cd /root/repo
 LOG=/tmp/r6_t5base.log
 RUN=runs/t5base_r3
 CUT_EPOCH=${1:?deadline epoch required}
+LR=${2:-3e-4}
+# lr history: the 3k->8.45k leg ran the original 3e-4 peak and STALLED
+# (loss pinned at ~3.0 for 5k steps — the resume jumped lr from the 3k
+# run's decayed ~5e-5 tail back to ~3e-4, too hot for d=768); the final
+# leg resumes the 8.45k state at a 1.2e-4 peak.
 mark() { echo "$(date -u +%H:%M:%S) $*" >> "$LOG"; }
 
 rm -f /tmp/stop_watchdog
-mark "stage start: t5_base resume 3k -> 20k"
+mark "stage start: t5_base resume -> 20k @ lr $LR"
 nohup bash scripts/train_watchdog.sh "$RUN" /tmp/train_t5base.log /tmp/train_t5base.pid -- \
-  t5base_r3 -d synth_big -m t5_base -b 16 -s 20000 -lr 3e-4 \
+  t5base_r3 -d synth_big -m t5_base -b 16 -s 20000 -lr "$LR" \
   --warmup-steps 500 --ckpt-every 1000 --log-every 50 > /dev/null 2>&1 &
 echo $! > /tmp/watchdog_t5base.pid
 nohup bash scripts/deadline_cut.sh "$CUT_EPOCH" /tmp/train_t5base.log \
