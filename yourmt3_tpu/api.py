@@ -227,11 +227,10 @@ def transcribe_audio_array(
     """Full-song mono float32 audio → merged notes.
 
     early_exit=True decodes each batch with per-stream retirement
-    (models/decoding.greedy_decode_early_exit) — identical tokens; can
-    save wall-clock for LONG single-channel decodes with variable
-    lengths, but measured to LOSE on the multi-channel flagship (many
-    short streams: compaction gathers cost more than the saved steps),
-    so it stays opt-in. decode_phases>1 chunks the
+    (models/decoding.greedy_decode_early_exit) — identical tokens;
+    measured 1.42× faster when decode lengths are long AND variable
+    (mixed sparse/dense segments) and slower on uniformly-short
+    realistic decodes, so it stays opt-in. decode_phases>1 chunks the
     dense decode into growing static read horizons (token-identical, less
     HBM traffic; see models/decoding.greedy_decode). beam_size>1 switches
     to batched beam search."""
