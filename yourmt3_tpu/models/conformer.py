@@ -89,14 +89,25 @@ class ConformerEncoder(nn.Module):
         c, dt = self.cfg, _dtype(self.cfg)
         x = nn.Dense(c.d_model, use_bias=False, dtype=dt,
                      name="input_proj")(feats.astype(dt))
+        pos = None
         if c.encoder_abs_pos != "none":
             # absolute time anchor for MT3 shift tokens (see config.model)
             from .layers import sinusoidal_positions
-            x = x + jnp.asarray(sinusoidal_positions(x.shape[1], c.d_model),
-                                dt)[None]
+            pos = jnp.asarray(sinusoidal_positions(x.shape[1], c.d_model),
+                              dt)[None]
+            x = x + pos
         bias = RelativePositionBias(
             c.num_heads, c.rel_attn_num_buckets, c.rel_attn_max_distance,
             bidirectional=True, dtype=dt, name="rel_bias")(x.shape[1], x.shape[1])
         for i in range(c.num_encoder_layers):
+            if pos is not None and i > 0:
+                # Re-anchor absolute time at EVERY block input. Input-only
+                # injection measurably washes out: the 6 k-step conformer
+                # moved 1/11 shift argmaxes under a +0.5 s audio shift
+                # (EVIDENCE.md round 3) — the bidirectional rel-bias
+                # attention + conv modules erase the one-shot sinusoid,
+                # while the Perceiver's latent-axis injection survives.
+                # Parameter-free, so checkpoints are shape-compatible.
+                x = x + pos
             x = ConformerBlock(c, name=f"block_{i}")(x, bias, deterministic)
         return x

@@ -151,8 +151,18 @@ class MultiHeadAttention(nn.Module):
     def setup(self):
         d_inner = self.num_heads * self.d_kv
         kinit = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
+        # T5 omits the 1/sqrt(d_kv) attention scaling and folds it into the
+        # QUERY init instead: q std = (d_model*d_kv)^-0.5, an extra d_kv^-0.5
+        # vs fan-in (mesh-tf / HF T5Attention; reference model/t5mod.py
+        # inherits it — SURVEY.md C20). Without it, init attention logits
+        # have std ~ sqrt(d_kv) ≈ 8: a near-saturated softmax whose damage
+        # compounds with depth — measured as the t5_base (12+12 layer)
+        # lr-instability/stall in runs/t5base_r3 while the 4-layer presets
+        # trained through it.
+        qinit = nn.initializers.variance_scaling(1.0 / self.d_kv, "fan_in",
+                                                 "normal")
         self.q = QuantDense(d_inner, dtype=self.dtype,
-                            kernel_init=kinit, name="q")
+                            kernel_init=qinit, name="q")
         self.k = QuantDense(d_inner, dtype=self.dtype,
                             kernel_init=kinit, name="k")
         self.v = QuantDense(d_inner, dtype=self.dtype,
