@@ -1,6 +1,14 @@
 """Generate the synthmc corpus: multi-instrument synthetic tracks with
 timbre-distinct programs across 6 MC12 classes + drums.
 
+Round-4 note: the renderer gained onset transients (piano hammer / guitar
+pluck), inharmonicity, per-note detune, velocity-coupled brightness, and a
+full-kit drum synth (synth.py), and the default track count rose to 4096
+(the 28k-step round-3 flagship read train 0.65 vs test 0.57 — data-limited).
+Seeds are unchanged (30/31/32) but the rendered corpus is a NEW version;
+round-3 eval JSONs under artifacts/mc13_r5 are against the old corpus and
+are not bit-comparable.
+
 Usage: python scripts/gen_synthmc.py [n_train] [root]
 """
 import sys
@@ -11,7 +19,7 @@ from yourmt3_tpu.data.preprocess.synth import build_synth_dataset
 
 PROGRAMS = (0, 24, 32, 40, 56, 64)  # piano guitar bass strings brass reed
 
-n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 root = sys.argv[2] if len(sys.argv) > 2 else "/root/ymt3_data"
 
 t0 = time.time()

@@ -97,6 +97,12 @@ _reg(DataPreset("synth_big", (DatasetEntry("synthbig", 1.0),)))
 _reg(DataPreset("synth_mc", (
     DatasetEntry("synthmc", 1.0, eval_program_vocab="gm_instr_class_mc12"),),
     default_task="mc13_full_plus_256"))
+# drum-only synthetic corpus (full-kit groove+fill charts) — the ENST/e-GMD
+# shaped DTM quality loop (BASELINE config 4); ksh eval vocab like the
+# reference's enstdrums_dtp preset
+_reg(DataPreset("synth_drum", (
+    DatasetEntry("synthdrum", 1.0, eval_drum_vocab="ksh"),),
+    default_task="drums_only"))
 
 
 def get_data_preset(name: str) -> DataPreset:

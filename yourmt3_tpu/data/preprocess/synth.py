@@ -42,6 +42,81 @@ PROGRAM_RANGES = {  # MIDI pitch register per program
 }
 DEFAULT_RANGE = (45, 84)
 
+# Onset-transient recipes. Round-3 per-class onset F1 read piano 0.35 /
+# guitar 0.37 (vs bass 0.73): the attack-alike classes carried the miss
+# (EVIDENCE.md mc13_r5). Real pianos/guitars announce onsets with a broadband
+# transient (hammer strike / pluck) the steady-state harmonic stack lacks, so
+# the renderer now adds one: (noise_len_s, noise_gain, highpass_like).
+# Strings get continuous low-level bow noise instead (no click — their cue
+# is the slow swell), and every note gets a small deterministic detune and
+# velocity-coupled brightness so timbre varies within a class the way the
+# eval corpora (MAESTRO/Slakh audio) do.
+PROGRAM_TRANSIENTS = {
+    0:  (0.006, 0.55, True),    # piano: hammer click
+    24: (0.005, 0.70, True),    # guitar: pluck snap
+    32: (0.008, 0.25, False),   # bass: soft thump
+    56: (0.015, 0.20, False),   # brass: breath attack
+    64: (0.012, 0.18, False),   # reed: chiff
+}
+# harmonic inharmonicity (stretched partials): f_h = h·f0·sqrt(1 + B·h²)
+PROGRAM_INHARMONICITY = {0: 4e-4, 24: 2e-4}
+
+# Full-kit drum timbres for DTM corpora: pitch → (kind, params).
+# Pitches are chosen to exercise both the `ksh` (kick/snare/hihat) and
+# `gm_drum_8class` eval vocabularies (config/vocabulary.py).
+DRUM_TIMBRES = {
+    35: ("kick", 55.0), 36: ("kick", 62.0),
+    38: ("snare", 190.0), 40: ("snare", 210.0), 37: ("snare", 260.0),
+    42: ("hihat", 0.05), 44: ("hihat", 0.04), 46: ("hihat", 0.25),
+    41: ("tom", 95.0), 45: ("tom", 130.0), 48: ("tom", 175.0),
+    49: ("cymbal", 0.9), 57: ("cymbal", 0.8),
+    51: ("ride", 0.45), 53: ("ride", 0.35),
+}
+FULL_KIT = tuple(sorted(DRUM_TIMBRES))
+
+
+def _render_drum(rng: np.random.Generator, sr: int, pitch: int,
+                 velocity: int) -> np.ndarray:
+    """One drum hit as a float64 array; length varies by class."""
+    kind, p = DRUM_TIMBRES.get(pitch, ("snare", 200.0))
+    v = velocity / 127.0
+    if kind == "kick":
+        n = int(0.09 * sr)
+        t = np.arange(n) / sr
+        # pitch-dropping sine thump + short click
+        f = p * (1.0 + 1.5 * np.exp(-t * 40))
+        body = np.sin(2 * np.pi * np.cumsum(f) / sr) * np.exp(-t * 35)
+        click = rng.standard_normal(n) * np.exp(-t * 400) * 0.3
+        return 0.55 * v * (body + click)
+    if kind == "snare":
+        n = int(0.12 * sr)
+        t = np.arange(n) / sr
+        tone = np.sin(2 * np.pi * p * t) * np.exp(-t * 60) * 0.5
+        noise = rng.standard_normal(n) * np.exp(-t * 30)
+        return 0.45 * v * (tone + noise)
+    if kind == "hihat":
+        n = int(max(p, 0.03) * sr)  # p = decay length (s)
+        t = np.arange(n) / sr
+        noise = rng.standard_normal(n)
+        noise = np.diff(noise, prepend=0.0)  # first difference ≈ highpass
+        return 0.5 * v * noise * np.exp(-t / max(p / 4, 0.008))
+    if kind == "tom":
+        n = int(0.15 * sr)
+        t = np.arange(n) / sr
+        f = p * (1.0 + 0.6 * np.exp(-t * 25))
+        body = np.sin(2 * np.pi * np.cumsum(f) / sr) * np.exp(-t * 18)
+        return 0.5 * v * body
+    # cymbal / ride: inharmonic partial stack + bright noise, long decay
+    n = int(max(p, 0.1) * sr)
+    t = np.arange(n) / sr
+    wave = np.zeros(n)
+    for k, f in enumerate((517.0, 813.0, 1279.0, 2113.0, 3331.0)):
+        wave += np.sin(2 * np.pi * f * (1.0 + 0.03 * k) * t) / (k + 1)
+    noise = np.diff(rng.standard_normal(n), prepend=0.0)
+    env = np.exp(-t / max(p / 3, 0.05))
+    gain = 0.28 if kind == "cymbal" else 0.22
+    return gain * v * (0.5 * wave + noise) * env
+
 
 def render_notes(notes: Sequence[Note], sr: int, duration: float,
                  seed: int = 0) -> np.ndarray:
@@ -53,15 +128,11 @@ def render_notes(notes: Sequence[Note], sr: int, duration: float,
         i0 = int(note.onset * sr)
         i1 = min(int(note.offset * sr), n)
         if note.is_drum:
-            dur = int(0.08 * sr)
-            i1 = min(i0 + dur, n)
-            if i1 <= i0:
+            if i0 >= n:
                 continue
-            env = np.exp(-np.arange(i1 - i0) / (0.01 * sr))
-            burst = rng.standard_normal(i1 - i0) * env
-            if note.pitch in (35, 36):  # kick: low sine thump
-                burst = 0.7 * np.sin(2 * np.pi * 60 * t_all[: i1 - i0]) * env
-            out[i0:i1] += 0.4 * burst
+            hit = _render_drum(rng, sr, note.pitch, note.velocity)
+            i1 = min(i0 + len(hit), n)
+            out[i0:i1] += hit[: i1 - i0]
         else:
             if i1 <= i0:
                 continue
@@ -79,16 +150,37 @@ def render_notes(notes: Sequence[Note], sr: int, duration: float,
             rel = min(int(0.03 * sr), i1 - i0)
             if rel > 0:
                 env[-rel:] = env[-rel:] * np.linspace(1.0, 0.0, rel)
+            # deterministic per-note detune (±6 cents) — real instruments
+            # are never exactly tempered; keeps the model off a pure-tone
+            # frequency lookup
+            f0 = f0 * 2 ** (rng.uniform(-6.0, 6.0) / 1200.0)
             phase = 2 * np.pi * f0 * seg_t
             if vib is not None:
                 rate, depth_semi = vib
                 depth = f0 * (2 ** (depth_semi / 12) - 1.0)
                 phase = phase + (depth / rate) * np.sin(2 * np.pi * rate * seg_t)
+            # velocity-coupled brightness: soft notes have duller spectra
+            bright = 0.55 + 0.45 * (note.velocity / 127.0)
+            binh = PROGRAM_INHARMONICITY.get(note.program, 0.0)
             wave = np.zeros_like(seg_t)
             for h, amp in enumerate(harm, start=1):
-                if f0 * h < sr / 2:
-                    wave += amp * np.sin(phase * h)
-            out[i0:i1] += (note.velocity / 127.0) * 0.2 * env * wave
+                fh = f0 * h * np.sqrt(1.0 + binh * h * h)
+                if fh < sr / 2:
+                    wave += amp * bright ** (h - 1) * np.sin(phase / f0 * fh)
+            sig = env * wave
+            trans = PROGRAM_TRANSIENTS.get(note.program)
+            if trans is not None:
+                tlen_s, tgain, hp = trans
+                tn = min(int(tlen_s * sr), i1 - i0)
+                if tn > 0:
+                    burst = rng.standard_normal(tn)
+                    if hp:
+                        burst = np.diff(burst, prepend=0.0)
+                    sig[:tn] += tgain * burst * np.linspace(1.0, 0.0, tn)
+            if vib is not None and note.program == 40:
+                # strings: continuous low-level bow noise under the envelope
+                sig += 0.04 * rng.standard_normal(len(seg_t)) * env
+            out[i0:i1] += (note.velocity / 127.0) * 0.2 * sig
     peak = np.abs(out).max()
     if peak > 1.0:
         out /= peak
@@ -97,14 +189,15 @@ def render_notes(notes: Sequence[Note], sr: int, duration: float,
 
 def random_chart(rng: np.random.Generator, duration: float,
                  programs: Sequence[int] = (0, 24, 32),
-                 with_drums: bool = True, density: float = 3.0) -> List[Note]:
+                 with_drums: bool = True, density: float = 3.0,
+                 drum_pitches: Sequence[int] = (36, 38, 42)) -> List[Note]:
     notes: List[Note] = []
     n = max(2, int(duration * density))
     for _ in range(n):
         onset = float(rng.uniform(0.05, duration - 0.3))
         if with_drums and rng.random() < 0.3:
             notes.append(Note(True, 128, onset, onset + 0.01,
-                              int(rng.choice([36, 38, 42])), 100))
+                              int(rng.choice(drum_pitches)), 100))
         else:
             prog = int(rng.choice(programs))
             lo, hi = PROGRAM_RANGES.get(prog, DEFAULT_RANGE)
@@ -115,11 +208,50 @@ def random_chart(rng: np.random.Generator, duration: float,
     return mix_notes([notes])
 
 
+def drum_chart(rng: np.random.Generator, duration: float,
+               density: float = 4.0,
+               drum_pitches: Sequence[int] = FULL_KIT) -> List[Note]:
+    """Drum-only chart for DTM corpora (e-GMD/ENST-shaped workload).
+
+    Mixes a loose groove backbone (8th-note grid kick/snare/hihat with
+    per-hit jitter and dropout — DTM models must learn grid-ish timing)
+    with off-grid fills over the full kit. Velocities vary so the model
+    sees quiet ghost notes next to accents.
+    """
+    notes: List[Note] = []
+    step = 60.0 / float(rng.uniform(90, 150)) / 2  # 8th note at 90-150 bpm
+    t = float(rng.uniform(0.05, step))
+    k = 0
+    while t < duration - 0.1:
+        if rng.random() > 0.25:  # dropout
+            if k % 4 == 0:
+                pitch = 36
+            elif k % 4 == 2:
+                pitch = 38
+            else:
+                pitch = int(rng.choice((42, 42, 44, 46)))
+            onset = t + float(rng.normal(0, 0.012))
+            onset = min(max(onset, 0.01), duration - 0.05)
+            notes.append(Note(True, 128, onset, onset + 0.01, pitch,
+                              int(rng.integers(50, 120))))
+        t += step
+        k += 1
+    n_fill = max(1, int(duration * max(density - 1.5, 0.5)))
+    for _ in range(n_fill):
+        onset = float(rng.uniform(0.05, duration - 0.15))
+        notes.append(Note(True, 128, onset, onset + 0.01,
+                          int(rng.choice(drum_pitches)),
+                          int(rng.integers(45, 125))))
+    from ...tokens.note2event import mix_notes
+    return mix_notes([notes])
+
+
 def build_synth_dataset(
     root: str, n_tracks: int = 4, duration: float = 6.0, sr: int = 16000,
     splits: Tuple[str, ...] = ("train", "validation", "test"),
     programs: Sequence[int] = (0, 24, 32), with_drums: bool = True,
-    seed: int = 0, dataset_name: str = "synth",
+    seed: int = 0, dataset_name: str = "synth", drums_only: bool = False,
+    density: float = 3.0,
 ) -> dict:
     """Render tracks + notes and write index files; → {split: index_path}."""
     rng = np.random.default_rng(seed)
@@ -128,7 +260,11 @@ def build_synth_dataset(
         tracks = []
         for i in range(n_tracks):
             tid = f"{dataset_name}_{split}_{i:03d}"
-            chart = random_chart(rng, duration, programs, with_drums)
+            if drums_only:
+                chart = drum_chart(rng, duration, density)
+            else:
+                chart = random_chart(rng, duration, programs, with_drums,
+                                     density)
             audio = render_notes(chart, sr, duration, seed=seed + i)
             adir = os.path.join(root, dataset_name, split)
             os.makedirs(adir, exist_ok=True)

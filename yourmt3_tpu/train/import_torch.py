@@ -300,7 +300,14 @@ def apply_to_params(params: Dict[str, Any], mapped: Dict[str, np.ndarray],
                 raise ValueError(f"{path}: shape {arr.shape} vs expected "
                                  f"{flat[path].shape}")
             continue
-        new_flat[path] = arr.astype(np.asarray(flat[path]).dtype)
+        # jnp.asarray, not the raw numpy array: host-numpy leaves in a param
+        # tree break traced indexing (rel-bias table lookups inside the
+        # decode while-loop) and force a host→device re-upload on EVERY
+        # jitted call — the same defect class as the round-3 restore_bundle
+        # bug (EVIDENCE.md: 3.7× transcribe slowdown).
+        import jax.numpy as jnp
+        new_flat[path] = jnp.asarray(
+            arr.astype(np.asarray(flat[path]).dtype))
         applied.append(path)
 
     def unflatten(flat_d):
