@@ -155,3 +155,86 @@ class TestGuitarSet:
         ds = load_file_list(out["train"])
         notes = load_notes(ds["tracks"][0]["notes_file"])
         assert [n.pitch for n in notes] == [55, 60]
+
+
+class TestSingingJsonConverters:
+    """mir_st500 / cmedia / mir1k share the singing-JSON contract
+    (per-track {base}.json note triplets + {base}.wav; program 100 =
+    singing voice per the YourMT3 convention, config/vocabulary.py)."""
+
+    def _tree(self, tmp_path, n=2):
+        src = tmp_path / "src"
+        os.makedirs(src)
+        for i in range(n):
+            with open(src / f"song{i}.json", "w") as f:
+                json.dump([[0.5, 1.0, 62.2], [1.2, 1.5, 67.0],
+                           [2.0, 2.2, 200.0]], f)  # 200 = out-of-range
+            _wav(str(src / f"song{i}.wav"))
+        # an annotation with no audio must be skipped, not crash
+        with open(src / "orphan.json", "w") as f:
+            json.dump([[0.0, 0.5, 60]], f)
+        return str(src)
+
+    @pytest.mark.parametrize("ds", ["mir_st500", "cmedia", "mir1k"])
+    def test_convert(self, ds, tmp_path):
+        src = self._tree(tmp_path)
+        home = str(tmp_path / "home")
+        out = cv.CONVERTERS[ds](src, home)
+        assert "train" in out
+        tracks = load_file_list(out["train"])["tracks"]
+        assert len(tracks) == 2  # orphan.json skipped
+        notes = load_notes(tracks[0]["notes_file"])
+        # out-of-range pitch filtered; pitch rounded; program 100 (singing)
+        assert len(notes) == 2
+        assert all(n.program == 100 and not n.is_drum for n in notes)
+        assert notes[0].pitch == 62
+
+    def test_split_map_and_notes_dict_shape(self, tmp_path):
+        src = tmp_path / "src2"
+        os.makedirs(src)
+        with open(src / "a.json", "w") as f:
+            json.dump({"notes": [[0.1, 0.4, 60]]}, f)  # dict-shaped variant
+        _wav(str(src / "a.wav"))
+        out = cv.preprocess_singing_json(str(src), str(tmp_path / "home"),
+                                         "mir_st500", split_map={"a": "test"})
+        assert set(out) == {"test"}
+        tracks = load_file_list(out["test"])["tracks"]
+        assert len(load_notes(tracks[0]["notes_file"])) == 1
+
+
+class TestMidiPairedConverters:
+    """rwc_pop / idmt_smt_bass: directories of {name.wav, name.mid}
+    pairs (SURVEY.md C16 tail)."""
+
+    def _tree(self, tmp_path):
+        src = tmp_path / "src"
+        os.makedirs(src / "disc1")
+        _midi(str(src / "disc1" / "t1.mid"), PIANO_NOTES)
+        _wav(str(src / "disc1" / "t1.wav"))
+        # orphan midi without audio must be skipped
+        _midi(str(src / "disc1" / "orphan.mid"), PIANO_NOTES)
+        return str(src)
+
+    def test_rwc_pop_lands_in_test_split(self, tmp_path):
+        out = cv.CONVERTERS["rwc_pop"](self._tree(tmp_path),
+                                       str(tmp_path / "home"))
+        assert set(out) == {"test"}  # RWC is an eval-only dataset
+        tracks = load_file_list(out["test"])["tracks"]
+        assert len(tracks) == 1
+        notes = load_notes(tracks[0]["notes_file"])
+        assert len(notes) == 2 and notes[0].pitch == 60
+
+    def test_idmt_smt_bass_train_split(self, tmp_path):
+        out = cv.CONVERTERS["idmt_smt_bass"](self._tree(tmp_path),
+                                             str(tmp_path / "home"))
+        assert set(out) == {"train"}
+        tracks = load_file_list(out["train"])["tracks"]
+        assert len(tracks) == 1
+
+    def test_every_registered_dataset_has_a_converter_test(self):
+        """Tripwire: a new CONVERTERS entry must come with coverage —
+        extend this list (and the suite) when registering one."""
+        covered = {"maestro", "slakh", "guitarset", "enstdrums_dtp",
+                   "enstdrums_dtm", "egmd", "urmp", "mir_st500", "cmedia",
+                   "mir1k", "rwc_pop", "idmt_smt_bass"}
+        assert set(cv.CONVERTERS) == covered

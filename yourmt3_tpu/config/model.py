@@ -43,7 +43,12 @@ class ModelConfig:
     # within a segment (shift tokens), which relative bias cannot resolve —
     # MT3 uses absolute sinusoids for exactly this reason. Measured here:
     # without it, teacher-forced shift-token accuracy stalls at 7%.
-    encoder_abs_pos: str = "sinusoidal"  # "sinusoidal" | "learned" | "none"
+    # "sinusoidal" | "sinusoidal_per_block" | "learned" | "none".
+    # "sinusoidal_per_block" (conformer only) re-injects the sinusoid at
+    # every block input — the round-3 probe measured the conformer's
+    # input-only anchor washing out (1/11 shift sensitivity); a distinct
+    # value so checkpoint meta disambiguates the two forwards.
+    encoder_abs_pos: str = "sinusoidal"
 
     # Perceiver-TF encoder (SURVEY.md C22)
     ptf_num_latents: int = 24  # K latents per frame block
@@ -146,6 +151,7 @@ PERCEIVER_TF_MC13_MOE = PERCEIVER_TF_MC13.replace(
 CONFORMER_SMALL = ModelConfig(
     name="conformer_small", encoder_type="conformer",
     use_conv_pre_encoder=True,
+    encoder_abs_pos="sinusoidal_per_block",
 )
 
 PRESETS = {

@@ -90,7 +90,7 @@ class ConformerEncoder(nn.Module):
         x = nn.Dense(c.d_model, use_bias=False, dtype=dt,
                      name="input_proj")(feats.astype(dt))
         pos = None
-        if c.encoder_abs_pos != "none":
+        if c.encoder_abs_pos in ("sinusoidal", "sinusoidal_per_block"):
             # absolute time anchor for MT3 shift tokens (see config.model)
             from .layers import sinusoidal_positions
             pos = jnp.asarray(sinusoidal_positions(x.shape[1], c.d_model),
@@ -100,14 +100,18 @@ class ConformerEncoder(nn.Module):
             c.num_heads, c.rel_attn_num_buckets, c.rel_attn_max_distance,
             bidirectional=True, dtype=dt, name="rel_bias")(x.shape[1], x.shape[1])
         for i in range(c.num_encoder_layers):
-            if pos is not None and i > 0:
+            if c.encoder_abs_pos == "sinusoidal_per_block" and i > 0:
                 # Re-anchor absolute time at EVERY block input. Input-only
                 # injection measurably washes out: the 6 k-step conformer
                 # moved 1/11 shift argmaxes under a +0.5 s audio shift
                 # (EVIDENCE.md round 3) — the bidirectional rel-bias
                 # attention + conv modules erase the one-shot sinusoid,
                 # while the Perceiver's latent-axis injection survives.
-                # Parameter-free, so checkpoints are shape-compatible.
+                # Parameter-free but NOT numerics-compatible with the
+                # input-only forward, so it is a DISTINCT config value that
+                # checkpoint meta records: plain "sinusoidal" checkpoints
+                # restore with input-only injection (their training
+                # forward), "sinusoidal_per_block" with this one.
                 x = x + pos
             x = ConformerBlock(c, name=f"block_{i}")(x, bias, deterministic)
         return x
