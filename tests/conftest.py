@@ -18,3 +18,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy model-path test (>~30 s on the 1-core CI host). "
+        "`-m 'not slow'` is the fast set (target <5 min total); CI-grade "
+        "verification runs it every time, the full suite stays the "
+        "release gate.")

@@ -36,6 +36,7 @@ def dominant_freq(x, sr):
     return np.argmax(spec) * sr / len(x)
 
 
+@pytest.mark.slow
 class TestPitchShift:
     def test_shift_moves_frequency(self):
         sr, L = 16000, 8192

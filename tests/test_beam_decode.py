@@ -78,6 +78,7 @@ class TestBeam:
         assert np.all(out[:, :, 0] == 7) and np.all(out[:, :, 1] == 9)
 
 
+@pytest.mark.slow
 class TestBeamOnPublicPath:
     def test_transcribe_audio_array_beam(self):
         """beam_size>1 through the PUBLIC api path: decodes every segment

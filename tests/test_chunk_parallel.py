@@ -94,3 +94,5 @@ class TestEvalSweepChunkParallel:
         with pytest.raises(ValueError, match="contiguous"):
             evaluate_file_dataset(bundle, overlapping, verbose=False,
                                   mesh=make_mesh(n_data=8))
+
+pytestmark = pytest.mark.slow

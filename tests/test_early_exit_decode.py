@@ -26,6 +26,7 @@ def _bundle(**kw):
 @pytest.mark.parametrize("kw", [{}, {"kv_quant": "int8"},
                                 {"kv_quant": "int8c4"},
                                 {"kv_quant": "int4"}])
+@pytest.mark.slow
 def test_matches_plain_greedy(kw):
     model, params, mem = _bundle(**kw)
     L = 48
@@ -35,6 +36,7 @@ def test_matches_plain_greedy(kw):
     assert np.array_equal(want, got)
 
 
+@pytest.mark.slow
 def test_matches_with_prefix():
     model, params, mem = _bundle()
     L = 32
@@ -59,6 +61,7 @@ def test_compaction_actually_triggers():
 
 
 @pytest.mark.parametrize("kw", [{}, {"kv_quant": "int8"}])
+@pytest.mark.slow
 def test_unroll_matches_plain_greedy(kw):
     """unroll>1 amortizes while-loop overhead; tokens must be IDENTICAL."""
     model, params, mem = _bundle(**kw)
@@ -71,6 +74,7 @@ def test_unroll_matches_plain_greedy(kw):
 
 
 @pytest.mark.parametrize("kw", [{}, {"kv_quant": "int8"}])
+@pytest.mark.slow
 def test_phases_match_plain_greedy(kw):
     """Phase-chunked dense reads (static kv_len horizons) must be
     token-identical — masked positions were never read."""
@@ -83,6 +87,7 @@ def test_phases_match_plain_greedy(kw):
     assert np.array_equal(want, both)
 
 
+@pytest.mark.slow
 def test_phase_span_must_divide_unroll():
     """phases×unroll combos whose phase span is NOT a whole number of
     unroll groups are rejected: the unrolled body would cross the phase

@@ -20,6 +20,7 @@ def tiny_ptf_cfg(**kw):
     return PERCEIVER_TF_MC13.replace(**base)
 
 
+@pytest.mark.slow
 class TestPerceiverTF:
     @pytest.fixture(scope="class")
     def built(self):
@@ -87,6 +88,7 @@ class TestConformer:
         assert out.shape == (2, 1, 8)
 
 
+@pytest.mark.slow
 class TestPositionalAndProjectionVariants:
     """SURVEY C24 options: RoPE / ALiBi temporal positions in Perceiver-TF
     and depthwise-conv projection variants (config-gated)."""
@@ -155,6 +157,7 @@ class TestPositionalAndProjectionVariants:
         assert mem.shape == (1, 1, 16, cfg.d_model)
 
 
+@pytest.mark.slow
 class TestAbsoluteTimeSignal:
     """Locks the round-3 flagship fix: the Perceiver-TF encoder output
     must carry an ABSOLUTE time-within-segment signal (MT3 shift tokens

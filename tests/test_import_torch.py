@@ -103,12 +103,15 @@ class TestImporter:
         for path in want:
             assert np.allclose(got[path], want[path]), path
 
+    @pytest.mark.slow
     def test_flagship_import_complete(self):
         self._full_import_roundtrip("perceiver_tf_mc13")
 
+    @pytest.mark.slow
     def test_flagship_moe_import_complete(self):
         self._full_import_roundtrip("perceiver_tf_mc13_moe")
 
+    @pytest.mark.slow
     def test_conformer_import_complete(self):
         self._full_import_roundtrip("conformer_small", num_encoder_layers=2,
                                     num_decoder_layers=2)

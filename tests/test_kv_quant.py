@@ -37,6 +37,7 @@ class TestQuantPrimitive:
         assert float(jnp.max(jnp.abs(want - got))) < 5e-2
 
 
+@pytest.mark.slow
 class TestModelInt8Decode:
     def test_decode_step_logits_close_to_dense(self):
         """Full decode_step with kv_quant=int8 must track the bf16 dense
@@ -173,6 +174,7 @@ class TestInt4Primitive:
 
 class TestModelInt4Decode:
     @pytest.mark.parametrize("kv_quant", ["int4", "int8c4"])
+    @pytest.mark.slow
     def test_greedy_decode_runs_and_tracks_dense(self, kv_quant):
         """Full greedy decode through the model with int4/mixed caches:
         valid ids, and per-step logits stay close to the bf16 path (token

@@ -37,6 +37,7 @@ def _valid_batch(tm, batch):
         assert isinstance(notes, list)
 
 
+@pytest.mark.slow
 def test_multiworker_batches_are_valid(corpus):
     tm = TaskManager("mt3_full_plus")
     ds = TrainDataset([corpus], tm, seed=0)
@@ -45,6 +46,7 @@ def test_multiworker_batches_are_valid(corpus):
         _valid_batch(tm, next(it))
 
 
+@pytest.mark.slow
 def test_multiworker_process_batches_are_valid(corpus):
     """Process workers (the default for num_workers>1: tokenization is
     pure Python, threads hit the GIL) must deliver well-formed batches."""

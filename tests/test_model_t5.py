@@ -53,6 +53,7 @@ class TestFrontend:
         assert abs(peak - 128) <= 1
 
 
+@pytest.mark.slow
 class TestT5Forward:
     def test_shapes_and_loss(self, tiny_model):
         cfg, model, params = tiny_model
@@ -133,6 +134,7 @@ class TestGreedyDecode:
         out = greedy_decode(model, params, memory, max_length=10)
         assert out.shape == (2, 3, 10)
 
+    @pytest.mark.slow
     def test_multichannel_perceiver_decode_matches_teacher_forcing(self):
         """The flagship structure (Perceiver-TF encoder + conv pre-encoder
         + group projection + channel-folded multi-T5 decoder): cached

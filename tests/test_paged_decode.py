@@ -42,6 +42,7 @@ class TestPagedKernel:
             mask[pos] = False
             assert np.all(np.asarray(dense[:, :, :, mask]) == 0)
 
+    @pytest.mark.slow
     def test_model_decode_step_with_pallas_flag(self):
         """decode_step logits with the paged-cache path must match the
         dense-cache path numerically (argmax chains on an UNTRAINED model

@@ -30,6 +30,7 @@ def tiny_bundle():
     return init_model("t5_tiny", "mt3_full_plus", audio_cfg=TINY_AUDIO)
 
 
+@pytest.mark.slow
 class TestTrainingLoop:
     def test_loss_decreases_and_eval_runs(self, synth_data, tiny_bundle, tmp_path):
         from yourmt3_tpu.data.dataset_train import TrainDataset

@@ -22,6 +22,7 @@ def const_batches(tm, batch_size=4):
 
 
 class TestResume:
+    @pytest.mark.slow
     def test_checkpoint_resume_continues(self, tmp_path):
         from yourmt3_tpu.api import init_model, load_checkpoint
         from yourmt3_tpu.train.trainer import train
@@ -68,6 +69,7 @@ class TestResume:
         # continued at step 4, not 1 (schedule position preserved)
         assert steps_logged == [4, 5], steps_logged
 
+    @pytest.mark.slow
     def test_preemption_writes_final_ckpt(self, tmp_path):
         from yourmt3_tpu.api import init_model
         from yourmt3_tpu.train.trainer import train
@@ -98,6 +100,7 @@ class TestResume:
 
 
 class TestFullModelCfgInMeta:
+    @pytest.mark.slow
     def test_dim_overrides_survive_restore(self, tmp_path):
         """Checkpoint metadata carries the FULL ModelConfig: a model
         trained with dim overrides (not a bare preset) must reload from

@@ -94,6 +94,7 @@ class TestQuantizeTree:
             T5_TINY.replace(weight_quant="int4")
 
 
+@pytest.mark.slow
 class TestDecodeWithQuantWeights:
     def _decode(self, bundle, audio_feats, L=16):
         from yourmt3_tpu.models.decoding import greedy_decode

@@ -151,12 +151,14 @@ def _cross_kv_batch(model: YMT3, params, memory: jnp.ndarray):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("model", "max_length", "phases"))
+                   static_argnames=("model", "max_length", "phases",
+                                    "repetition_guard"))
 def _decode_batch(model: YMT3, params, memory: jnp.ndarray, cross_kvs,
                   max_length: int, prefix_ids: Optional[jnp.ndarray],
-                  phases: int = 1) -> jnp.ndarray:
+                  phases: int = 1, repetition_guard: int = 0) -> jnp.ndarray:
     return greedy_decode(model, params, memory, max_length, prefix_ids,
-                         phases=phases, cross_kvs=cross_kvs)
+                         phases=phases, cross_kvs=cross_kvs,
+                         repetition_guard=repetition_guard)
 
 
 @functools.partial(jax.jit,
@@ -173,6 +175,7 @@ def transcribe_segments_array(
     bundle: ModelBundle, segments: np.ndarray, start_times: Sequence[float],
     batch_size: int = 8, subtask: Optional[str] = None,
     early_exit: bool = False, decode_phases: int = 1, beam_size: int = 1,
+    repetition_guard: int = 0,
 ) -> Tuple[List[Note], DecodeErrors]:
     """Pre-sliced (S, input_frames) segments + their start times → merged
     notes. The segments-level entry point: callers with their own slicing
@@ -213,7 +216,8 @@ def transcribe_segments_array(
             else:
                 ids = _decode_batch(bundle.model, bundle.params, memory,
                                     cross_kvs, L, prefix_arr,
-                                    phases=decode_phases)
+                                    phases=decode_phases,
+                                    repetition_guard=repetition_guard)
         all_ids.append(np.asarray(ids)[: batch_size - pad_n if pad_n else batch_size])
     seg_ids = np.concatenate(all_ids, axis=0)  # (S, C, L)
     return tm.detokenize_song(seg_ids, list(start_times))
@@ -223,8 +227,12 @@ def transcribe_audio_array(
     bundle: ModelBundle, audio: np.ndarray, sample_rate: Optional[int] = None,
     batch_size: int = 8, subtask: Optional[str] = None,
     early_exit: bool = False, decode_phases: int = 1, beam_size: int = 1,
+    repetition_guard: int = 0,
 ) -> Tuple[List[Note], DecodeErrors]:
     """Full-song mono float32 audio → merged notes.
+    repetition_guard>0 force-EOSes any stream emitting the same token that
+    many times consecutively (degenerate-decode cutoff; no valid MT3 stream
+    repeats a token — see models/decoding.greedy_decode).
 
     early_exit=True decodes each batch with per-stream retirement
     (models/decoding.greedy_decode_early_exit) — identical tokens;
@@ -242,7 +250,8 @@ def transcribe_audio_array(
     return transcribe_segments_array(
         bundle, segments, (starts / ac.sample_rate).tolist(),
         batch_size=batch_size, subtask=subtask, early_exit=early_exit,
-        decode_phases=decode_phases, beam_size=beam_size)
+        decode_phases=decode_phases, beam_size=beam_size,
+        repetition_guard=repetition_guard)
 
 
 def transcribe(bundle: ModelBundle, audio_path: str,

@@ -33,6 +33,9 @@ def main(argv=None) -> None:
                         "(ops/weight_quant.py; bf16 is numerically exact, "
                         "int8 trades ~0.4%% weight rounding for halved "
                         "weight HBM reads)")
+    p.add_argument("--repetition-guard", type=int, default=0,
+                   help="force-EOS a stream after N consecutive identical "
+                        "tokens (degenerate greedy cutoff; 0 = off)")
     p.add_argument("--beam-size", type=int, default=1,
                    help="per-segment batched beam search (1 = greedy, "
                         "the reference default)")
@@ -64,7 +67,8 @@ def main(argv=None) -> None:
             bundle, ds, eval_program_vocab=entry.eval_program_vocab,
             eval_drum_vocab=entry.eval_drum_vocab,
             batch_size=args.batch_size, subtask=args.subtask,
-            beam_size=args.beam_size)
+            beam_size=args.beam_size,
+            repetition_guard=args.repetition_guard)
         results[entry.dataset] = res
         print("  " + " ".join(f"{k}={v:.4f}" for k, v in res.items()
                               if isinstance(v, float)))

@@ -31,6 +31,7 @@ def evaluate_file_dataset(
     mesh=None,  # jax.sharding.Mesh → chunk-parallel song streaming
     segments_per_device: int = 2,
     beam_size: int = 1,  # >1: batched beam search per segment
+    repetition_guard: int = 0,  # >0: degenerate-decode cutoff (api)
 ) -> Dict[str, float]:
     """→ macro-averaged metric dict over the dataset's tracks.
 
@@ -71,7 +72,7 @@ def evaluate_file_dataset(
             est_notes, err = transcribe_segments_array(
                 bundle, segments, start_times,
                 batch_size=batch_size, subtask=subtask,
-                beam_size=beam_size)
+                beam_size=beam_size, repetition_guard=repetition_guard)
         total_err += err.total()
         ref = bundle.task_manager.remap_notes(ref_notes)
         s = metrics.update(ref, est_notes)

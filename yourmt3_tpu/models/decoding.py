@@ -30,6 +30,7 @@ class DecodeState(NamedTuple):
     buf: jnp.ndarray  # (B*, L+1) decoder inputs; buf[:, 0] = start token
     done: jnp.ndarray  # (B*,) bool
     self_kvs: Any  # list of per-layer (k, v) caches
+    rep: jnp.ndarray  # (B*,) int32: consecutive-identical-token run length
 
 
 def greedy_decode(
@@ -58,6 +59,14 @@ def greedy_decode(
     # the projection inside different jit programs changes fusion-order
     # rounding, and int8 KV quantization amplifies that epsilon into argmax
     # flips (see api._encode_batch).
+    repetition_guard: int = 0,  # >0: replace the Nth consecutive identical
+    # token emission with a forced EOS (visible runs cap at N-1). No valid MT3 stream
+    # repeats a token (shifts are monotonic, chord pitches ascend, state
+    # tokens only change), but a degenerate greedy decode can loop on one —
+    # measured: test_014 collapsed to onset F1 0.16 emitting a 129-token
+    # repeat stream where every other track read ~0.6 (EVIDENCE.md mc13_r5).
+    # 0 = off (token-identical to the plain loop). Guard is inactive while
+    # the forced task prefix is being written.
 ) -> jnp.ndarray:
     """→ (B, C, max_length) int32 token ids (PAD-filled after EOS)."""
     B, C = memory.shape[0], memory.shape[1]
@@ -91,14 +100,22 @@ def greedy_decode(
         if P > 0:  # force task-token prefix positions
             forced = prefix_ids[jnp.minimum(st.pos, P - 1)].astype(jnp.int32)
             nxt = jnp.where(st.pos < P, forced, nxt)
+        rep = st.rep
+        if repetition_guard > 0:
+            run = jnp.where(jnp.logical_and(~st.done, nxt == tok[:, 0]),
+                            st.rep + 1, 1)
+            rep = jnp.where(st.pos < P, 0, run)
+            nxt = jnp.where(jnp.logical_and(rep >= repetition_guard, ~st.done),
+                            eos_id, nxt)
         nxt = jnp.where(st.done, PAD_ID, nxt)
         done = jnp.logical_or(st.done, nxt == eos_id)
         buf = jax.lax.dynamic_update_slice(st.buf, nxt[:, None], (0, st.pos + 1))
-        return DecodeState(st.pos + 1, buf, done, new_kvs)
+        return DecodeState(st.pos + 1, buf, done, new_kvs, rep)
 
     buf0 = jnp.full((BS, max_length + 1), PAD_ID, jnp.int32).at[:, 0].set(start)
     st = DecodeState(jnp.asarray(0, jnp.int32), buf0,
-                     jnp.zeros((BS,), bool), self_kvs)
+                     jnp.zeros((BS,), bool), self_kvs,
+                     jnp.zeros((BS,), jnp.int32))
     span = max_length // phases
     for p in range(phases):
         limit = (p + 1) * span
