@@ -224,3 +224,25 @@ class TestPerClassBreakdown:
         m = AMTMetrics()
         m.update(make_notes(), make_notes())
         assert m.compute_per_class() == {}
+
+
+class TestOffsetDiagnostic:
+    def test_detects_systematic_early_offsets(self):
+        from yourmt3_tpu.eval.metrics import offset_error_stats
+        from yourmt3_tpu.tokens.dataclasses import Note
+        ref = [Note(False, 0, float(i), float(i) + 1.0, 60 + i % 4, 90)
+               for i in range(10)]
+        est = [Note(False, 0, n.onset + 0.01, n.offset - 0.2, n.pitch, 90)
+               for n in ref]
+        s = offset_error_stats(ref, est)
+        assert s["n_pairs"] == 10
+        assert s["p_early"] == 1.0 and s["p_late"] == 0.0
+        assert abs(s["mean_signed_s"] + 0.2) < 1e-6
+
+    def test_drums_and_unmatched_are_excluded(self):
+        from yourmt3_tpu.eval.metrics import offset_error_stats
+        from yourmt3_tpu.tokens.dataclasses import Note
+        ref = [Note(True, 128, 1.0, 1.01, 36, 100),   # drum: excluded
+               Note(False, 0, 2.0, 3.0, 60, 90)]      # unmatched (est far)
+        est = [Note(False, 0, 5.0, 6.0, 60, 90)]
+        assert offset_error_stats(ref, est) == {"n_pairs": 0.0}

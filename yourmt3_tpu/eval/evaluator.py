@@ -45,6 +45,7 @@ def evaluate_file_dataset(
         DRUM_VOCABULARIES[eval_drum_vocab] if eval_drum_vocab else None)
     metrics = AMTMetrics(pv, dv)
     total_err = 0
+    offset_errs: list = []  # per-track offset_error_stats (n_pairs-weighted)
     for track_id, segments, start_times, ref_notes in dataset:
         if mesh is not None:
             if beam_size > 1:
@@ -75,6 +76,8 @@ def evaluate_file_dataset(
                 beam_size=beam_size, repetition_guard=repetition_guard)
         total_err += err.total()
         ref = bundle.task_manager.remap_notes(ref_notes)
+        from .metrics import offset_error_stats
+        offset_errs.append(offset_error_stats(ref, est_notes))
         s = metrics.update(ref, est_notes)
         if verbose:
             fmt = lambda v: "n/a" if v is None else f"{v:.4f}"
@@ -87,4 +90,12 @@ def evaluate_file_dataset(
     per_class = metrics.compute_per_class()
     if per_class:
         out["per_class"] = per_class  # per-instrument-class onset P/R/F1
+    n_pairs = sum(o.get("n_pairs", 0.0) for o in offset_errs)
+    if n_pairs:
+        agg = {"n_pairs": n_pairs}
+        for k in ("mean_signed_s", "median_signed_s", "std_s",
+                  "p_early", "p_late", "p_within_tol"):
+            agg[k] = sum(o.get(k, 0.0) * o.get("n_pairs", 0.0)
+                         for o in offset_errs) / n_pairs
+        out["offset_diagnostic"] = agg  # systematic-bias probe (metrics.py)
     return out

@@ -232,3 +232,47 @@ class AMTMetrics:
     @property
     def num_tracks(self) -> int:
         return len(self._tracks)
+
+
+def offset_error_stats(ref_notes: Sequence[Note],
+                       est_notes: Sequence[Note],
+                       onset_tol: float = ONSET_TOL) -> Dict[str, float]:
+    """Signed-offset-error diagnostics over onset+pitch-matched note pairs.
+
+    Offset F1 has trailed onset F1 in every round (0.40–0.45 on the
+    flagship). This separates the two candidate causes: a SYSTEMATIC
+    detok/model bias (|mean| signed error ≫ 0 — e.g. offsets consistently
+    early because release tails are under-modeled) vs symmetric noise
+    (mean ≈ 0, wide spread — an observability/capacity limit). Pairs are
+    matched greedily nearest-onset within the onset tolerance, same pitch
+    and drum flag; drums are excluded (their offsets are nominal).
+    """
+    ref_p = [n for n in ref_notes if not n.is_drum]
+    est_p = [n for n in est_notes if not n.is_drum]
+    errors: List[float] = []
+    used: set = set()
+    by_pitch: Dict[int, List[Tuple[int, Note]]] = {}
+    for j, e in enumerate(est_p):
+        by_pitch.setdefault(e.pitch, []).append((j, e))
+    for r in ref_p:
+        cands = [(abs(r.onset - e.onset), j, e)
+                 for j, e in by_pitch.get(r.pitch, ())
+                 if j not in used and abs(r.onset - e.onset) <= onset_tol]
+        if not cands:
+            continue
+        _, j, e = min(cands, key=lambda c: c[0])
+        used.add(j)
+        errors.append(e.offset - r.offset)
+    if not errors:
+        return {"n_pairs": 0.0}
+    a = np.asarray(errors)
+    tol = OFFSET_MIN_TOL  # short-note floor; per-note ratio tol not applied
+    return {
+        "n_pairs": float(len(a)),
+        "mean_signed_s": float(a.mean()),
+        "median_signed_s": float(np.median(a)),
+        "std_s": float(a.std()),
+        "p_early": float((a < -tol).mean()),   # est offset too early
+        "p_late": float((a > tol).mean()),     # est offset too late
+        "p_within_tol": float((np.abs(a) <= tol).mean()),
+    }
