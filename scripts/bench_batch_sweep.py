@@ -1,0 +1,41 @@
+"""Flagship worst-case decode: batch-size sweep (VERDICT r3 item 5).
+
+Every decode path built so far sustains ~35% of v5e HBM peak at B=16 —
+single-token steps are latency/VMEM-staging-bound, not bandwidth-saturated,
+so adding STREAMS to each step (larger B) amortizes the fixed per-step
+overhead and weight reads over more audio-seconds. This sweeps B for the
+flagship worst-case program (EOS banned, full L) with the promoted
+decode tuning, and reports per-chip throughput + latency. Memory check:
+B=64 × 13 ch × L=256 int8 KV ≈ 0.4 GB/layer-pair — fits v5e 16 GB.
+
+Usage: python scripts/bench_batch_sweep.py [out.jsonl]
+"""
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from bench import bench_config  # noqa: E402
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "artifacts/batch_sweep_r4.jsonl"
+
+
+def main():
+    rows = []
+    for b in (16, 24, 32, 48, 64):
+        row = bench_config("perceiver_tf_mc13", "mc13_full_plus_256", b)
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+        with open(OUT, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+    best = max(rows, key=lambda r: r["audio_s_per_s_per_chip"])
+    print("BEST", json.dumps({k: best[k] for k in (
+        "batch", "audio_s_per_s_per_chip", "vs_baseline",
+        "batch_latency_ms", "p50_segment_latency_ms")}))
+
+
+if __name__ == "__main__":
+    from yourmt3_tpu.utils.jax_setup import setup_jax
+    setup_jax()
+    main()
