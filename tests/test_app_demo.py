@@ -116,3 +116,34 @@ class TestBuildDemo:
         from yourmt3_tpu import app
         with pytest.raises(RuntimeError, match="yt-dlp"):
             app.fetch_youtube_audio("https://youtu.be/x", "/tmp")
+
+
+class TestTranscribeCliUrl:
+    def test_url_is_fetched_and_transcribed(self, monkeypatch, tmp_path):
+        """--url must actually route through yt-dlp and transcribe the
+        fetched audio (regression: the CLI used to import yt_dlp and then
+        drop the URL on the floor)."""
+        ytdlp = types.ModuleType("yt_dlp")
+
+        class _YDL:
+            def __init__(self, opts):
+                self.opts = opts
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def download(self, urls):
+                outdir = os.path.dirname(self.opts["outtmpl"])
+                _wav(os.path.join(outdir, "audio.wav"))
+
+        ytdlp.YoutubeDL = _YDL
+        monkeypatch.setitem(sys.modules, "yt_dlp", ytdlp)
+        from yourmt3_tpu.cli import transcribe as cli
+        out_dir = str(tmp_path / "out")
+        cli.main(["--url", "https://youtu.be/fake", "-m", "t5_tiny",
+                  "-t", "mt3_full_plus_256", "-o", out_dir, "--cpu"])
+        mids = [f for f in os.listdir(out_dir) if f.endswith(".mid")]
+        assert mids, os.listdir(out_dir)

@@ -256,11 +256,13 @@ def transcribe_audio_array(
 
 def transcribe(bundle: ModelBundle, audio_path: str,
                output_path: Optional[str] = None, batch_size: int = 8,
-               subtask: Optional[str] = None, beam_size: int = 1) -> str:
+               subtask: Optional[str] = None, beam_size: int = 1,
+               repetition_guard: int = 0) -> str:
     """Audio file → MIDI file path (the reference's public API, C31)."""
     audio, sr = load_audio_file(audio_path, bundle.audio_cfg.sample_rate)
     notes, errors = transcribe_audio_array(bundle, audio, sr, batch_size,
-                                           subtask, beam_size=beam_size)
+                                           subtask, beam_size=beam_size,
+                                           repetition_guard=repetition_guard)
     if output_path is None:
         output_path = os.path.splitext(audio_path)[0] + ".mid"
     note_event2midi(notes, output_path)

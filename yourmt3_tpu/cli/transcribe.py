@@ -36,6 +36,9 @@ def main(argv=None) -> None:
     p.add_argument("--beam-size", type=int, default=1,
                    help=">1 decodes with batched beam search (greedy is "
                         "the reference default; beam is a quality knob)")
+    p.add_argument("--repetition-guard", type=int, default=0,
+                   help="force-EOS a stream after N consecutive identical "
+                        "tokens (degenerate greedy cutoff; 0 = off)")
     p.add_argument("--weight-quant", default=None,
                    choices=("none", "bf16", "int8"),
                    help="decoder-weight decode format (bf16 = exact at "
@@ -59,6 +62,11 @@ def main(argv=None) -> None:
             raise SystemExit("YouTube ingestion requires yt-dlp + network; "
                              "unavailable in this environment. Pass a local "
                              "audio file instead.")
+        import tempfile
+
+        from ..app import fetch_youtube_audio
+        dl_dir = tempfile.mkdtemp(prefix="ymt3_yt_")
+        inputs.append(fetch_youtube_audio(args.url, dl_dir))
     if not inputs:
         raise SystemExit("no input files")
 
@@ -91,7 +99,8 @@ def main(argv=None) -> None:
             args.output_dir,
             os.path.splitext(os.path.basename(path))[0] + ".mid")
         mid = transcribe(bundle, path, out, batch_size=args.batch_size,
-                         subtask=args.subtask, beam_size=args.beam_size)
+                         subtask=args.subtask, beam_size=args.beam_size,
+                         repetition_guard=args.repetition_guard)
         print(f"{path} -> {mid}")
 
 
