@@ -39,6 +39,12 @@ def main(argv=None) -> None:
     p.add_argument("--beam-size", type=int, default=1,
                    help="per-segment batched beam search (1 = greedy, "
                         "the reference default)")
+    p.add_argument("--eval-drum-vocab", default=None,
+                   help="override the preset's eval drum vocabulary "
+                        "(gm_drum_full | ksh | gm_drum_8class) — the "
+                        "reference's eval-vocab remap knob for DTM")
+    p.add_argument("--eval-program-vocab", default=None,
+                   help="override the preset's eval program vocabulary")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if args.cpu:
@@ -64,8 +70,10 @@ def main(argv=None) -> None:
         print(f"== {entry.dataset} ({args.split}) ==")
         ds = AudioFileDataset(idx, bundle.audio_cfg, max_tracks=args.max_tracks)
         res = evaluate_file_dataset(
-            bundle, ds, eval_program_vocab=entry.eval_program_vocab,
-            eval_drum_vocab=entry.eval_drum_vocab,
+            bundle, ds,
+            eval_program_vocab=(args.eval_program_vocab
+                                or entry.eval_program_vocab),
+            eval_drum_vocab=args.eval_drum_vocab or entry.eval_drum_vocab,
             batch_size=args.batch_size, subtask=args.subtask,
             beam_size=args.beam_size,
             repetition_guard=args.repetition_guard)
