@@ -173,3 +173,89 @@ class TestForwardParity:
             n = min(hf_body.shape[1], ours_seq.shape[1])
             assert ours_seq[b, :n].tolist() == hf_body[b, :n].tolist(), (
                 b, ours_seq[b, :n], hf_body[b, :n])
+
+
+class TestCheckpointFileAndVariants:
+    def test_lightning_style_ckpt_file_round_trip(self, pair, feats,
+                                                  tmp_path):
+        """The reference ships Lightning .ckpt files ('state_dict' key,
+        'model.' prefixes). Save the REAL HF T5 that way, import through
+        import_checkpoint (the file-path entry), and require identical
+        teacher-forced logits to the in-memory import."""
+        hf, ours, params = pair
+        from yourmt3_tpu.train.import_torch import import_checkpoint
+        sd = {f"model.{k}": v for k, v in hf.state_dict().items()}
+        path = str(tmp_path / "ref.ckpt")
+        torch.save({"state_dict": sd, "epoch": 3}, path)
+
+        model2, params2 = build_ours_fresh()
+        params2 = import_checkpoint(path, params2, verbose=False)
+        p2 = params2["params"] if "params" in params2 else params2
+        p2["encoder"]["input_proj"]["kernel"] = jnp.eye(D_MODEL,
+                                                        dtype=jnp.float32)
+        rng = np.random.default_rng(5)
+        dec_ids = rng.integers(2, VOCAB, size=(2, DEC_L)).astype(np.int32)
+        dec_ids[:, 0] = 0
+        a = np.asarray(ours.apply(params, jnp.asarray(feats),
+                                  jnp.asarray(dec_ids[:, None, :])))
+        b = np.asarray(model2.apply(params2, jnp.asarray(feats),
+                                    jnp.asarray(dec_ids[:, None, :])))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_t5_v1_0_relu_variant_matches_hf(self, feats):
+        """T5 v1.0 semantics (plain relu FF via wi/wo) — the importer's
+        DenseReluDense.wi rule — must also match the real HF forward."""
+        cfg = transformers.T5Config(
+            vocab_size=VOCAB, d_model=D_MODEL, d_kv=D_KV, d_ff=D_FF,
+            num_layers=LAYERS, num_decoder_layers=LAYERS, num_heads=HEADS,
+            dropout_rate=0.0, feed_forward_proj="relu",
+            tie_word_embeddings=False, decoder_start_token_id=0,
+            pad_token_id=0, eos_token_id=EOS)
+        torch.manual_seed(9)
+        hf = transformers.T5ForConditionalGeneration(cfg)
+        hf.eval()
+
+        mcfg = ModelConfig(
+            name="hf_parity_relu", encoder_type="t5", decoder_type="t5",
+            vocab_size=VOCAB, num_channels=1, d_model=D_MODEL, d_kv=D_KV,
+            num_heads=HEADS, d_ff=D_FF, ff_act="relu", dropout_rate=0.0,
+            num_encoder_layers=LAYERS, num_decoder_layers=LAYERS,
+            encoder_abs_pos="none", max_target_length=32,
+            compute_dtype="float32")
+        model = YMT3(mcfg)
+        feats0 = jnp.zeros((1, SEG_T, D_MODEL), jnp.float32)
+        ids0 = jnp.zeros((1, 1, DEC_L), jnp.int32)
+        params = model.init(jax.random.PRNGKey(1), feats0, ids0)
+        sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+        params = import_state_dict(sd, params, verbose=False)
+        p = params["params"] if "params" in params else params
+        p["encoder"]["input_proj"]["kernel"] = jnp.eye(D_MODEL,
+                                                       dtype=jnp.float32)
+        rng = np.random.default_rng(6)
+        dec_ids = rng.integers(2, VOCAB, size=(2, DEC_L)).astype(np.int64)
+        dec_ids[:, 0] = 0
+        with torch.no_grad():
+            hf_logits = hf(inputs_embeds=torch.from_numpy(feats),
+                           decoder_input_ids=torch.from_numpy(dec_ids),
+                           ).logits.numpy()
+        ours_logits = np.asarray(model.apply(
+            params, jnp.asarray(feats),
+            jnp.asarray(dec_ids[:, None, :].astype(np.int32))))[:, 0]
+        denom = np.abs(hf_logits).max()
+        np.testing.assert_allclose(ours_logits, hf_logits,
+                                   atol=3e-4 * max(denom, 1.0))
+
+
+def build_ours_fresh():
+    cfg = ModelConfig(
+        name="hf_parity_tiny2", encoder_type="t5", decoder_type="t5",
+        vocab_size=VOCAB, num_channels=1, d_model=D_MODEL, d_kv=D_KV,
+        num_heads=HEADS, d_ff=D_FF, ff_act="gated-gelu", dropout_rate=0.0,
+        num_encoder_layers=LAYERS, num_decoder_layers=LAYERS,
+        rel_attn_num_buckets=32, rel_attn_max_distance=128,
+        encoder_abs_pos="none", max_target_length=32,
+        compute_dtype="float32")
+    model = YMT3(cfg)
+    feats = jnp.zeros((1, SEG_T, D_MODEL), jnp.float32)
+    ids = jnp.zeros((1, 1, DEC_L), jnp.int32)
+    return model, model.init(jax.random.PRNGKey(2), feats, ids)

@@ -83,6 +83,11 @@ T5_RULES: List[Tuple[str, str, str]] = [
      "decoder/layer_{0}/ff/wi_0/kernel", "t"),
     (r"decoder\.block\.(\d+)\.layer\.2\.DenseReluDense\.wi_1\.weight",
      "decoder/layer_{0}/ff/wi_1/kernel", "t"),
+    # T5 v1.0 (non-gated) FF — the encoder list had this rule but the
+    # decoder did not, so v1.0-style decoder FF weights silently never
+    # imported (caught by tests/test_hf_parity.py relu variant)
+    (r"decoder\.block\.(\d+)\.layer\.2\.DenseReluDense\.wi\.weight",
+     "decoder/layer_{0}/ff/wi/kernel", "t"),
     (r"decoder\.block\.(\d+)\.layer\.2\.DenseReluDense\.wo\.weight",
      "decoder/layer_{0}/ff/wo/kernel", "t"),
     (r"decoder\.block\.(\d+)\.layer\.2\.layer_norm\.weight",
