@@ -41,6 +41,10 @@ timeout 1500 python -u bench.py --transcribe-ckpt=runs/mc13_r6/last \
   --transcribe-batch=16 > artifacts/mc13_r6/transcribe_b16.json 2>> "$LOG" \
   || mark "realistic bench FAILED"
 
+# ---- flagship worst-case batch sweep (VERDICT item 5) -------------------
+mark "batch sweep"
+timeout 3000 python -u scripts/bench_batch_sweep.py \
+  artifacts/batch_sweep_r4.jsonl >> "$LOG" 2>&1 || mark "batch sweep FAILED"
 # ---- drums quality run (BASELINE config 4) ------------------------------
 rm -f /tmp/stop_watchdog
 mark "launching drums_r4 (8k steps, synth_drum full-kit corpus)"
@@ -67,8 +71,4 @@ mark "conformer anchor probe (2k steps)"
 timeout 3000 python -u scripts/probe_conformer_anchor.py 2000 \
   >> "$LOG" 2>&1 || mark "conformer probe FAILED"
 
-# ---- flagship worst-case batch sweep (VERDICT item 5) -------------------
-mark "batch sweep"
-timeout 3000 python -u scripts/bench_batch_sweep.py \
-  artifacts/batch_sweep_r4.jsonl >> "$LOG" 2>&1 || mark "batch sweep FAILED"
 mark "STAGE2 DONE"
