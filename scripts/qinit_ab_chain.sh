@@ -19,13 +19,21 @@ for arm in fixed legacy; do
   timeout 2400 python -u scripts/probe_qinit_ab.py "$arm" "$STEPS" >> "$LOG" 2>&1
   rc=$?
   mark "END $arm rc=$rc"
-  cp "runs/qinit_$arm/qinit_${arm}_log.jsonl" "artifacts/qinit_ab/$arm.jsonl" 2>/dev/null
+  if [ -f "runs/qinit_$arm/qinit_${arm}_log.jsonl" ]; then
+    cp "runs/qinit_$arm/qinit_${arm}_log.jsonl" "artifacts/qinit_ab/$arm.jsonl"
+  else
+    mark "ARM FAILED: $arm (rc=$rc, no jsonl) — summary will flag it"
+  fi
 done
 
 python - <<'EOF' >> "$LOG" 2>&1
 import json
 out = {}
 for arm in ("fixed", "legacy"):
+    import os
+    if not os.path.exists(f"artifacts/qinit_ab/{arm}.jsonl"):
+        out[arm] = {"status": "FAILED - no log (see /tmp/qinit_ab.log)"}
+        continue
     rows = [json.loads(l) for l in open(f"artifacts/qinit_ab/{arm}.jsonl")]
     out[arm] = {
         "steps": [r["step"] for r in rows],
@@ -35,8 +43,9 @@ for arm in ("fixed", "legacy"):
                            for r in rows],
     }
 json.dump(out, open("artifacts/qinit_ab/summary.json", "w"), indent=1)
-print("SUMMARY", {a: {"final_loss": v["loss"][-1],
-                      "final_shift_acc": v["shift_accuracy"][-1]}
+print("SUMMARY", {a: ({"final_loss": v["loss"][-1],
+                       "final_shift_acc": v["shift_accuracy"][-1]}
+                      if "loss" in v else v)
                   for a, v in out.items()})
 EOF
 mark "CHAIN DONE"
