@@ -33,6 +33,20 @@ def main():
     print("BEST", json.dumps({k: best[k] for k in (
         "batch", "audio_s_per_s_per_chip", "vs_baseline",
         "batch_latency_ms", "p50_segment_latency_ms")}))
+    b16 = next(r for r in rows if r["batch"] == 16)
+    if best["audio_s_per_s_per_chip"] > 1.05 * b16["audio_s_per_s_per_chip"]:
+        # promote the winner: bench.py's headline defaults to this batch
+        path = "artifacts/decode_tuning.json"
+        with open(path) as f:
+            tune = json.load(f)
+        for key in ("perceiver_tf_mc13/mc13_full_plus_256",
+                    "perceiver_tf_mc13_moe/mc13_full_plus_256"):
+            tune.setdefault(key, {})["batch"] = best["batch"]
+            tune[key]["batch_sweep_audio_s_per_s"] = \
+                best["audio_s_per_s_per_chip"]
+        with open(path, "w") as f:
+            json.dump(tune, f, indent=1)
+        print(f"PROMOTED batch={best['batch']} into {path}")
 
 
 if __name__ == "__main__":
