@@ -34,9 +34,14 @@ def transcribe_song_chunk_parallel(
     mesh=None,
     subtask: Optional[str] = None,
     segments_per_device: int = 8,
+    max_length: Optional[int] = None,
 ) -> Tuple[List[Note], DecodeErrors]:
     """Shard a song's segments over the mesh `data` axis and decode them
-    all in one program. → (merged notes, decode errors)."""
+    all in one program. → (merged notes, decode errors).
+
+    max_length caps the decode length (default: the task's full token
+    budget); the multichip dryrun uses a small cap to keep the virtual-mesh
+    compile cheap."""
     mesh = mesh or make_mesh()
     ac = bundle.audio_cfg
     tm = bundle.task_manager
@@ -54,7 +59,8 @@ def transcribe_song_chunk_parallel(
 
     prefix = tm.subtask_prefix_ids(subtask)
     prefix_arr = jnp.asarray(prefix, jnp.int32) if prefix else None
-    L = tm.max_token_length
+    L = tm.max_token_length if max_length is None else min(
+        max_length, tm.max_token_length)
 
     @jax.jit
     def run(audio_batch):
