@@ -128,11 +128,11 @@ res = {
     "est_notes": tot_est, "fragment_joins": tot_merged,
     "fragment_frac": tot_merged / max(tot_est, 1),
     "plain": {k: plain[k] for k in
-              ("onset_f1", "offset_f1", "multi_f1", "onset_precision",
-               "onset_recall")},
+              ("onset_f1", "offset_f1", "onset_precision", "onset_recall")
+              if k in plain},
     "chain_merged": {k: merged[k] for k in
-                     ("onset_f1", "offset_f1", "multi_f1", "onset_precision",
-                      "onset_recall")},
+                     ("onset_f1", "offset_f1", "onset_precision",
+                      "onset_recall") if k in merged},
 }
 print("FRAGMENTATION DIAG", json.dumps(res, indent=1), flush=True)
 json.dump(res, open("artifacts/mc13_r6/fragmentation_diag.json", "w"),

@@ -81,7 +81,9 @@ class ModelConfig:
     # ~3.6% row-max error — measure F1 before trusting). "int8c4" keeps
     # the self cache int8 and packs only the STEP-INVARIANT cross KV to
     # int4 (the dominant reads of short multi-channel decodes).
-    # "none" | "int8" | "int8c4" | "int4".
+    # "int8c4p" = int8 self + PALLAS int4 cross (split-half packed,
+    # in-kernel unpack: the packed bytes are read once per step).
+    # "none" | "int8" | "int8c4" | "int8c4p" | "int4".
     kv_quant: str = "none"
     # Quantized DECODER WEIGHTS for decode (ops/weight_quant.py): after
     # quantized KV caches, weights are the remaining per-step HBM traffic

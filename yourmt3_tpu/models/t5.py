@@ -145,7 +145,7 @@ class T5DecoderLayer(nn.Module):
         k_step = self.self_attn._split(self.self_attn.k(h))
         v_step = self.self_attn._split(self.self_attn.v(h))
         ck, cv = self_kv
-        if (self.cfg.kv_quant in ("int8", "int8c4")
+        if (self.cfg.kv_quant in ("int8", "int8c4", "int8c4p")
                 and self.cfg.use_pallas_decode):
             # int8 PAGED self-attention: combines the paged kernel's
             # ∝pos reads with int8's halved bytes. Cache entries are
@@ -189,7 +189,7 @@ class T5DecoderLayer(nn.Module):
             else:
                 att = int4_decode_attention(q, ck[0], ck[1], cv[0], cv[1],
                                             step_bias)
-        elif self.cfg.kv_quant in ("int8", "int8c4"):
+        elif self.cfg.kv_quant in ("int8", "int8c4", "int8c4p"):
             # int8 cache: ck = (k int8 (S,H,L,dk), scales f32 (S,H,L)).
             # Quantize this step's row, write value+scale in place, attend
             # with dequant fused into the einsums (ops/kv_quant.py).
@@ -241,7 +241,14 @@ class T5DecoderLayer(nn.Module):
             # decode bytes — so int4 here halves what phase-chunking
             # cannot touch.
             (ckq, cks), (cvq, cvs) = cross_kv
-            if ckq.dtype == jnp.uint8:
+            if self.cfg.kv_quant == "int8c4p":
+                # Pallas int4 cross: in-kernel nibble unpack reads the
+                # packed bytes once (split-half dk-major layout)
+                from ..ops.pallas.decode_attention import \
+                    int4_cross_attention
+                attc = int4_cross_attention(qc[:, :, 0, :], ckq, cks,
+                                            cvq, cvs)[:, :, None, :]
+            elif ckq.dtype == jnp.uint8:
                 from ..ops.kv_quant import int4_decode_attention
                 attc = int4_decode_attention(qc, ckq, cks, cvq, cvs, None)
             else:
@@ -304,6 +311,15 @@ class T5Decoder(nn.Module):
     # ---- decode-time helpers (used under jit by models/decoding.py) ----
     def init_cross_kv(self, enc_out: jnp.ndarray) -> List[KV]:
         kvs = [lyr.cross_attn.project_kv(enc_out) for lyr in self.layers]
+        if self.cfg.kv_quant == "int8c4p":
+            # int8 SELF + Pallas int4 CROSS: split-half dk-major packing
+            # read by ops/pallas/decode_attention.int4_cross_attention —
+            # the packed bytes are read exactly once per step (XLA's
+            # int4 path must either materialize the unpack or read the
+            # packed array twice; both measured losses, int4_ablation_r3)
+            from ..ops.kv_quant import quantize_kv4_crosspack
+            return [(quantize_kv4_crosspack(k), quantize_kv4_crosspack(v))
+                    for k, v in kvs]
         if self.cfg.kv_quant in ("int4", "int8c4"):
             # int8c4 = int8 SELF + int4 CROSS: cross reads dominate short
             # multi-channel decodes and are re-read every step, so they

@@ -88,7 +88,7 @@ class YMT3(nn.Module):
             return [((jnp.zeros(vals, jnp.uint8), jnp.zeros(scls, jnp.float32)),
                      (jnp.zeros(vals, jnp.uint8), jnp.zeros(scls, jnp.float32)))
                     for _ in range(c.num_decoder_layers)]
-        if c.kv_quant in ("int8", "int8c4") and c.use_pallas_decode:
+        if c.kv_quant in ("int8", "int8c4", "int8c4p") and c.use_pallas_decode:
             # int8 PAGED caches: ((values pages int8, scale pages fp32), …)
             # — ∝pos kernel reads at half the bytes
             from ..ops.pallas.decode_attention import (empty_paged_cache,
@@ -101,7 +101,7 @@ class YMT3(nn.Module):
                         empty_paged_scales(batch_streams, c.num_heads,
                                            padded, block))
             return [(pair(), pair()) for _ in range(c.num_decoder_layers)]
-        if c.kv_quant in ("int8", "int8c4"):
+        if c.kv_quant in ("int8", "int8c4", "int8c4p"):
             # (values int8, per-position fp32 scales); zero scales make
             # unwritten positions contribute 0 logits (masked anyway)
             vals = (batch_streams, c.num_heads, max_len, c.d_kv)

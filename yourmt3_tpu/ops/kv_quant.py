@@ -137,3 +137,33 @@ def int8_decode_attention(q: jnp.ndarray,  # (S, H, 1, dk) float
         dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.float32)  # (S, H, 1, dk)
     return out.astype(q.dtype)
+
+
+def quantize_kv4_crosspack(x: jnp.ndarray) -> QKV:
+    """(S, H, T, dk) float → ((S, H, dk//2, T) uint8, (S, H, T) fp32).
+
+    Split-half int4 packing for the Pallas cross kernel
+    (ops/pallas/decode_attention.int4_cross_attention): byte (d, t) holds
+    element d in the low nibble and element d+dk/2 in the high nibble,
+    both biased +8 (range [1, 15] for values in [-7, 7]); the layout is
+    dk-MAJOR so the kernel's uint8 tile is (dk/2, T) — T lanes, zero tile
+    padding. Per-(s,h,t)-row symmetric scales, same convention as
+    quantize_kv4."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 7.0  # (S, H, T)
+    safe = jnp.maximum(scale, 1e-30)
+    q = jnp.clip(jnp.round(xf / safe[..., None]), -7, 7).astype(jnp.int32)
+    dk2 = q.shape[-1] // 2
+    lo = (q[..., :dk2] + 8).astype(jnp.uint8)
+    hi = (q[..., dk2:] + 8).astype(jnp.uint8)
+    packed = lo | (hi << 4)  # (S, H, T, dk2)
+    return packed.transpose(0, 1, 3, 2), scale
+
+
+def dequantize_kv4_crosspack(packed: jnp.ndarray,
+                             scale: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of quantize_kv4_crosspack (tests/reference paths)."""
+    p = packed.transpose(0, 1, 3, 2).astype(jnp.int32)  # (S, H, T, dk2)
+    lo = ((p & 15) - 8).astype(jnp.float32)
+    hi = ((p >> 4) - 8).astype(jnp.float32)
+    return jnp.concatenate([lo, hi], axis=-1) * scale[..., None]

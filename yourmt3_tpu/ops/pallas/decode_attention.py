@@ -354,3 +354,125 @@ def reference_decode_attention(q, k_cache, v_cache, pos, bias_row=None):
     p = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("shqk,shdk->shqd", p, v_cache.astype(jnp.float32))
     return out[:, :, 0, :].astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# int4 CROSS attention (single-pass, T-lane-major packed nibbles)
+# ---------------------------------------------------------------------------
+
+def _int4_cross_kernel(q_ref,  # (sp, H, dk) VMEM
+                       k4_ref, ks_ref,  # (sp, H, dk2, T) uint8 / (sp, H, T)
+                       v4_ref, vs_ref,
+                       out_ref,  # (sp, H, dk)
+                       *, T: int, dk: int):
+    """softmax((q·(K4−8))·kscale)·((V4−8)·vscale) in one grid step.
+
+    The cross KV is STATIC and re-read on every decode step — at the
+    flagship shape it is the dominant decode traffic (≈370 of ≈600
+    MB/step at int8), and phase-chunking cannot shrink it. int4 halves
+    those bytes, but XLA cannot contract over packed nibbles in one pass
+    (either the unpack materializes or both half-dots re-read the packed
+    array — measured catastrophic in int4_ablation_r3). In-kernel unpack
+    reads the packed bytes exactly once.
+
+    Layout is dk-MAJOR, T-minor: pages are (dk2, T) uint8 → the uint8
+    tile is (32, T) with T=256 lanes — zero tile padding (a T-minor
+    (T, dk2=32) layout pads lanes 32→128 = 4× VMEM + DMA waste). Byte
+    (d, t) packs elements d (low nibble) and d+dk/2 (high nibble),
+    biased +8 — split-half packing so the unpack never interleaves
+    lanes; the two half-width dots contract over sublanes instead.
+
+    Bias/scale algebra (exact): logits_t = ks_t·(q·nib_t − 8·Σq);
+    out_d = (Σ_t w_t·nib_{t,d} − 8·Σ_t w_t)/Σ_t p_t with w = p·vs.
+    """
+    sp, H, _ = q_ref.shape
+    dk2 = dk // 2
+    G = sp * H
+    q = q_ref[:].reshape(G, dk).astype(jnp.float32)
+    q_lo = jax.lax.slice(q, (0, 0), (G, dk2))[:, None, :]   # (G, 1, dk2)
+    q_hi = jax.lax.slice(q, (0, dk2), (G, dk))[:, None, :]
+
+    kb = k4_ref[:].reshape(G, dk2, T).astype(jnp.int32)
+    k_lo = (kb & 15).astype(jnp.float32)
+    k_hi = (kb >> 4).astype(jnp.float32)
+    dn_k = (((2,), (1,)), ((0,), (0,)))  # contract dk2, batch G
+    raw = (jax.lax.dot_general(q_lo, k_lo, dn_k,
+                               preferred_element_type=jnp.float32)
+           + jax.lax.dot_general(q_hi, k_hi, dn_k,
+                                 preferred_element_type=jnp.float32)
+           )[:, 0, :]                                        # (G, T)
+    qsum = jnp.sum(q, axis=1, keepdims=True)                 # (G, 1)
+    logits = (raw - 8.0 * qsum) * ks_ref[:].reshape(G, T)
+
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)                # (G, 1)
+    w = p * vs_ref[:].reshape(G, T)                          # (G, T)
+
+    vb = v4_ref[:].reshape(G, dk2, T).astype(jnp.int32)
+    v_lo = (vb & 15).astype(jnp.float32)
+    v_hi = (vb >> 4).astype(jnp.float32)
+    dn_v = (((2,), (2,)), ((0,), (0,)))  # contract T, batch G
+    o_lo = jax.lax.dot_general(w[:, None, :], v_lo, dn_v,
+                               preferred_element_type=jnp.float32)[:, 0, :]
+    o_hi = jax.lax.dot_general(w[:, None, :], v_hi, dn_v,
+                               preferred_element_type=jnp.float32)[:, 0, :]
+    wsum = jnp.sum(w, axis=1, keepdims=True)                 # (G, 1)
+    out = jnp.concatenate([o_lo - 8.0 * wsum, o_hi - 8.0 * wsum], axis=1)
+    out = out / jnp.maximum(denom, 1e-30)
+    out_ref[:] = out.reshape(sp, H, dk).astype(out_ref.dtype)
+
+
+def pick_streams_per_tile_cross4(S: int, H: int, dk: int, T: int,
+                                 vmem_budget: int = 10 * 2**20) -> int:
+    """Largest divisor of S fitting the int4 cross tile in VMEM: packed
+    K+V pages (double-buffered) + the f32 nibble planes the unpack
+    materializes (~5 live (G, dk2, T) f32 arrays at peak)."""
+    dk2 = dk // 2
+    per_stream = (4 * H * dk2 * T          # K4+V4 double-buffered, uint8
+                  + 5 * H * dk2 * T * 4    # live unpacked f32 planes
+                  + 6 * H * T * 4)         # scales + logits/p/w rows
+    sp = max(1, min(vmem_budget // per_stream, S))
+    while S % sp:
+        sp -= 1
+    return sp
+
+
+def int4_cross_attention(q: jnp.ndarray,  # (S, H, dk) or (S, H, 1, dk)
+                         k4: jnp.ndarray,  # (S, H, dk//2, T) uint8
+                         ks: jnp.ndarray,  # (S, H, T) fp32
+                         v4: jnp.ndarray,
+                         vs: jnp.ndarray,
+                         streams_per_tile: Optional[int] = None,
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Cross-attention decode step over split-half-packed int4 KV.
+
+    Build k4/v4/ks/vs once per segment batch with
+    ops/kv_quant.quantize_kv4_crosspack (init_cross_kv does this when
+    kv_quant == "int8c4p")."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    squeeze = False
+    if q.ndim == 4:
+        q = q[:, :, 0, :]
+        squeeze = True
+    S, H, dk = q.shape
+    T = k4.shape[-1]
+    assert k4.shape == (S, H, dk // 2, T), (k4.shape, (S, H, dk // 2, T))
+    sp = streams_per_tile or pick_streams_per_tile_cross4(S, H, dk, T)
+    grid = (S // sp,)
+    kv_spec = pl.BlockSpec((sp, H, dk // 2, T), lambda i: (i, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((sp, H, T), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    q_spec = pl.BlockSpec((sp, H, dk), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_int4_cross_kernel, T=T, dk=dk),
+        grid=grid,
+        in_specs=[q_spec, kv_spec, sc_spec, kv_spec, sc_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((S, H, dk), q.dtype),
+        interpret=interpret,
+    )(q, k4, ks, v4, vs)
+    return out[:, :, None, :] if squeeze else out
