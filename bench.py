@@ -244,6 +244,8 @@ def main():
             density = float(a.split("=", 1)[1])
         elif a.startswith("--weight-quant="):
             extra["weight_quant"] = a.split("=", 1)[1]
+        elif a.startswith("--kv-quant="):
+            extra["kv_quant"] = a.split("=", 1)[1]
     if ckpt:
         if regime:
             rows = bench_early_exit_regime(ckpt, batch_size=tbatch)

@@ -133,6 +133,20 @@ if jax.default_backend() == "tpu":
     results["cross_paged_int8"] = {
         "ms": t * 1e3, "gb_per_s": int8_bytes / t / 1e9}
 
+    # int4 Pallas cross (split-half dk-major packing, in-kernel unpack)
+    from yourmt3_tpu.ops.kv_quant import quantize_kv4_crosspack
+    from yourmt3_tpu.ops.pallas.decode_attention import int4_cross_attention
+    k4c, k4s = quantize_kv4_crosspack(k0)
+    v4c, v4s = quantize_kv4_crosspack(v0)
+
+    def cross_pallas_int4(q):
+        o = int4_cross_attention(q[:, :, 0, :], k4c, k4s, v4c, v4s)
+        return (o[:, :, None, :].astype(jnp.bfloat16),)
+
+    t = timed(cross_pallas_int4, q0)
+    results["cross_pallas_int4"] = {
+        "ms": t * 1e3, "gb_per_s": int4_bytes / t / 1e9}
+
 # ---- 2. self-attention (int8 dense, horizon 128) ---------------------------
 HZ = 128
 
