@@ -94,7 +94,7 @@ def measure(bundle, batch, max_length, n_iters=3, ban_eos=True, unroll=1, phases
 
 
 def bench_config(model_preset, task, batch, max_length=None, n_iters=3,
-                 extra_overrides=None):
+                 extra_overrides=None, loop_overrides=None):
     from yourmt3_tpu.tokens.task_manager import TaskManager
     from yourmt3_tpu.config.audio import DEFAULT_AUDIO
     tm = TaskManager(task, DEFAULT_AUDIO)
@@ -107,6 +107,9 @@ def bench_config(model_preset, task, batch, max_length=None, n_iters=3,
         ov["weight_quant"] = tune["weight_quant"]
     bundle = build(model_preset, task, ov)
     phases, unroll = tune.get("phases", 1), tune.get("unroll", 1)
+    if loop_overrides:
+        phases = loop_overrides.get("phases", phases)
+        unroll = loop_overrides.get("unroll", unroll)
     thr, lat = measure(bundle, batch, L, n_iters, phases=phases,
                        unroll=unroll)
     # p50 single-batch latency for ONE segment (B=1)
@@ -261,6 +264,7 @@ def main():
     model_preset = "perceiver_tf_mc13"
     task = "mc13_full_plus_256"
     batch = None  # default: the tuned batch from decode_tuning.json, else 16
+    loop_ov = {}  # --phases/--unroll: override the tuned loop schedule
     for a in sys.argv[1:]:
         if a.startswith("--model="):
             model_preset = a.split("=", 1)[1]
@@ -268,6 +272,10 @@ def main():
             task = a.split("=", 1)[1]
         elif a.startswith("--batch="):
             batch = int(a.split("=", 1)[1])
+        elif a.startswith("--phases="):
+            loop_ov["phases"] = int(a.split("=", 1)[1])
+        elif a.startswith("--unroll="):
+            loop_ov["unroll"] = int(a.split("=", 1)[1])
     if batch is None:
         # decode throughput is stream-parallel: the batch-size sweep
         # (scripts/bench_batch_sweep.py) measures the per-chip optimum and
@@ -299,7 +307,8 @@ def main():
             print(json.dumps(r), file=sys.stderr)
         head = rows[-1]
     else:
-        head = bench_config(model_preset, task, batch, extra_overrides=extra)
+        head = bench_config(model_preset, task, batch, extra_overrides=extra,
+                            loop_overrides=loop_ov)
 
     print(json.dumps({
         "metric": (f"full_song_transcription_throughput"

@@ -30,6 +30,18 @@ timeout 1500 python -u bench.py --batch=32 --kv-quant=int8c4p \
   || mark "int8c4p bench FAILED"
 mark "int8c4p: $(cat artifacts/bench_int8c4p_b32.json 2>/dev/null)"
 
+mark "unroll probe @ tuned batch (unroll=8 vs tuned 4)"
+timeout 1500 python -u bench.py --batch=32 --unroll=8 \
+  > artifacts/bench_unroll8_b32.json 2>> "$LOG" \
+  || mark "unroll8 bench FAILED"
+mark "unroll8: $(cat artifacts/bench_unroll8_b32.json 2>/dev/null)"
+
+mark "int8c4p + unroll8 compose probe"
+timeout 1500 python -u bench.py --batch=32 --kv-quant=int8c4p --unroll=8 \
+  > artifacts/bench_int8c4p_u8_b32.json 2>> "$LOG" \
+  || mark "compose bench FAILED"
+mark "compose: $(cat artifacts/bench_int8c4p_u8_b32.json 2>/dev/null)"
+
 mark "quality gate: flagship eval with int8c4p (8 tracks)"
 timeout 2400 python -u -m yourmt3_tpu.cli.test -ckpt runs/mc13_r6/last \
   -d synth_mc --split test -b 8 --max-tracks 8 --kv-quant int8c4p \
