@@ -79,3 +79,34 @@ class TestRepetitionGuard:
                                         max_length=16,
                                         repetition_guard=10**6))
         np.testing.assert_array_equal(base, huge)
+
+    def test_guard_cuts_period2_cycles(self, built, monkeypatch):
+        b, memory = built
+        real_step = YMT3.decode_step
+
+        def cycling_step(self, token_ids, pos, self_kvs, cross_kvs,
+                         kv_len=0):
+            # degenerate decoder alternating tokens 7 and 9 (period-2
+            # collapse: two tokens without an advancing shift cannot
+            # encode notes, but the period-1 guard never fires on it)
+            logits, kvs = real_step(self, token_ids, pos, self_kvs,
+                                    cross_kvs, kv_len=kv_len)
+            want = jnp.where(pos % 2 == 0, 7, 9)
+            stuck = jnp.full_like(logits, -1e9)
+            stuck = stuck.at[:, want].set(0.0)
+            return stuck, kvs
+
+        monkeypatch.setattr(YMT3, "decode_step", cycling_step)
+        out = np.asarray(greedy_decode(b.model, b.params, memory,
+                                       max_length=32, repetition_guard=4))
+        for row in out.reshape(-1, 32):
+            row = row.tolist()
+            # cycle must be cut by a forced EOS well before max_length
+            assert EOS_ID in row, row
+            cut = row.index(EOS_ID)
+            assert cut <= 2 * 4 + 2, row  # ≈ 2·guard steps in cycle
+            assert all(t == PAD_ID for t in row[cut + 1:]), row
+        # without the guard the cycle really does run away
+        raw = np.asarray(greedy_decode(b.model, b.params, memory,
+                                       max_length=32))
+        assert EOS_ID not in raw.reshape(-1, 32)[0].tolist()

@@ -31,6 +31,7 @@ class DecodeState(NamedTuple):
     done: jnp.ndarray  # (B*,) bool
     self_kvs: Any  # list of per-layer (k, v) caches
     rep: jnp.ndarray  # (B*,) int32: consecutive-identical-token run length
+    rep2: jnp.ndarray  # (B*,) int32: period-2 cycle run length (A B A B …)
 
 
 def greedy_decode(
@@ -65,6 +66,10 @@ def greedy_decode(
     # tokens only change), but a degenerate greedy decode can loop on one —
     # measured: test_014 collapsed to onset F1 0.16 emitting a 129-token
     # repeat stream where every other track read ~0.6 (EVIDENCE.md mc13_r5).
+    # The guard ALSO cuts period-2 cycles (A B A B …) after 2·N steps in
+    # cycle: equally invalid (two alternating tokens without an advancing
+    # shift cannot encode notes) and observed in collapsed tracks the
+    # period-1 guard missed (fragmentation diag, round 4).
     # 0 = off (token-identical to the plain loop). Guard is inactive while
     # the forced task prefix is being written.
 ) -> jnp.ndarray:
@@ -100,22 +105,32 @@ def greedy_decode(
         if P > 0:  # force task-token prefix positions
             forced = prefix_ids[jnp.minimum(st.pos, P - 1)].astype(jnp.int32)
             nxt = jnp.where(st.pos < P, forced, nxt)
-        rep = st.rep
+        rep, rep2 = st.rep, st.rep2
         if repetition_guard > 0:
             run = jnp.where(jnp.logical_and(~st.done, nxt == tok[:, 0]),
                             st.rep + 1, 1)
             rep = jnp.where(st.pos < P, 0, run)
-            nxt = jnp.where(jnp.logical_and(rep >= repetition_guard, ~st.done),
-                            eos_id, nxt)
+            # period-2: nxt equals the token emitted two steps back
+            # (buf[pos-1]; tok = buf[pos] is one back). A A A … also
+            # satisfies this, harmlessly (period-1 trips first).
+            tok2 = jax.lax.dynamic_slice(
+                st.buf, (0, jnp.maximum(st.pos - 1, 0)), (BS, 1))[:, 0]
+            in_cycle = jnp.logical_and(
+                jnp.logical_and(~st.done, nxt == tok2), st.pos >= 1)
+            run2 = jnp.where(in_cycle, st.rep2 + 1, 1)
+            rep2 = jnp.where(st.pos < P, 0, run2)
+            trip = jnp.logical_or(rep >= repetition_guard,
+                                  rep2 >= 2 * repetition_guard)
+            nxt = jnp.where(jnp.logical_and(trip, ~st.done), eos_id, nxt)
         nxt = jnp.where(st.done, PAD_ID, nxt)
         done = jnp.logical_or(st.done, nxt == eos_id)
         buf = jax.lax.dynamic_update_slice(st.buf, nxt[:, None], (0, st.pos + 1))
-        return DecodeState(st.pos + 1, buf, done, new_kvs, rep)
+        return DecodeState(st.pos + 1, buf, done, new_kvs, rep, rep2)
 
     buf0 = jnp.full((BS, max_length + 1), PAD_ID, jnp.int32).at[:, 0].set(start)
     st = DecodeState(jnp.asarray(0, jnp.int32), buf0,
                      jnp.zeros((BS,), bool), self_kvs,
-                     jnp.zeros((BS,), jnp.int32))
+                     jnp.zeros((BS,), jnp.int32), jnp.zeros((BS,), jnp.int32))
     span = max_length // phases
     for p in range(phases):
         limit = (p + 1) * span
