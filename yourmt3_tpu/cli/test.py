@@ -35,10 +35,17 @@ def main(argv=None) -> None:
                         "weight HBM reads)")
     p.add_argument("--repetition-guard", type=int, default=0,
                    help="force-EOS a stream after N consecutive identical "
-                        "tokens (degenerate greedy cutoff; 0 = off)")
+                        "tokens (degenerate greedy cutoff; 0 = off, else "
+                        ">= 2 — 1 would force-EOS every first token)")
     p.add_argument("--beam-size", type=int, default=1,
                    help="per-segment batched beam search (1 = greedy, "
                         "the reference default)")
+    p.add_argument("--repair-beam", type=int, default=0,
+                   help=">1: validate-and-repair decode — re-decode only "
+                        "the segments the detokenizer rejects with beam "
+                        "search of this width (the public transcribe "
+                        "default is 2; eval default stays plain greedy "
+                        "for comparability)")
     p.add_argument("--eval-drum-vocab", default=None,
                    help="override the preset's eval drum vocabulary "
                         "(gm_drum_full | ksh | gm_drum_8class) — the "
@@ -76,7 +83,8 @@ def main(argv=None) -> None:
             eval_drum_vocab=args.eval_drum_vocab or entry.eval_drum_vocab,
             batch_size=args.batch_size, subtask=args.subtask,
             beam_size=args.beam_size,
-            repetition_guard=args.repetition_guard)
+            repetition_guard=args.repetition_guard,
+            repair_beam=args.repair_beam)
         results[entry.dataset] = res
         print("  " + " ".join(f"{k}={v:.4f}" for k, v in res.items()
                               if isinstance(v, float)))

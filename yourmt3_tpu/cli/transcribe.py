@@ -38,7 +38,14 @@ def main(argv=None) -> None:
                         "the reference default; beam is a quality knob)")
     p.add_argument("--repetition-guard", type=int, default=0,
                    help="force-EOS a stream after N consecutive identical "
-                        "tokens (degenerate greedy cutoff; 0 = off)")
+                        "tokens (degenerate greedy cutoff; 0 = off, else "
+                        ">= 2)")
+    p.add_argument("--repair-beam", type=int, default=2,
+                   help="validate-and-repair decode (DEFAULT ON): segments "
+                        "the detokenizer rejects are re-decoded with beam "
+                        "search of this width and kept only if errors drop "
+                        "— clean MIDI out by default; 0 = raw greedy "
+                        "(token-identical to pre-r5 default)")
     p.add_argument("--weight-quant", default=None,
                    choices=("none", "bf16", "int8"),
                    help="decoder-weight decode format (bf16 = exact at "
@@ -100,7 +107,8 @@ def main(argv=None) -> None:
             os.path.splitext(os.path.basename(path))[0] + ".mid")
         mid = transcribe(bundle, path, out, batch_size=args.batch_size,
                          subtask=args.subtask, beam_size=args.beam_size,
-                         repetition_guard=args.repetition_guard)
+                         repetition_guard=args.repetition_guard,
+                         repair_beam=args.repair_beam)
         print(f"{path} -> {mid}")
 
 

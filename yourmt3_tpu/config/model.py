@@ -100,6 +100,16 @@ class ModelConfig:
     param_dtype: str = "float32"
 
     def __post_init__(self):
+        if (self.encoder_abs_pos == "sinusoidal_per_block"
+                and self.encoder_type != "conformer"):
+            # only the conformer forward implements per-block re-injection;
+            # the T5/Perceiver encoders check == "sinusoidal" and would
+            # silently run with NO absolute positions at all, reproducing
+            # the documented shift-accuracy stall (ADVICE r4).
+            raise ValueError(
+                "encoder_abs_pos='sinusoidal_per_block' requires "
+                f"encoder_type='conformer' (got {self.encoder_type!r}); "
+                "use 'sinusoidal' for t5/perceiver-tf encoders")
         if self.weight_quant not in ("none", "bf16", "int8"):
             raise ValueError(
                 f"weight_quant must be 'none'|'bf16'|'int8', "

@@ -32,6 +32,7 @@ def evaluate_file_dataset(
     segments_per_device: int = 2,
     beam_size: int = 1,  # >1: batched beam search per segment
     repetition_guard: int = 0,  # >0: degenerate-decode cutoff (api)
+    repair_beam: int = 0,  # >1: validate-and-repair decode (api)
 ) -> Dict[str, float]:
     """→ macro-averaged metric dict over the dataset's tracks.
 
@@ -51,6 +52,9 @@ def evaluate_file_dataset(
             if beam_size > 1:
                 raise ValueError("beam_size>1 is not supported on the "
                                  "chunk-parallel mesh path; use mesh=None")
+            if repetition_guard > 0:
+                raise ValueError("repetition_guard>0 is not threaded through "
+                                 "the chunk-parallel mesh path; use mesh=None")
             from ..parallel.chunk_stream import transcribe_song_chunk_parallel
             # chunk_stream re-slices the flat song on device, so this path
             # is only valid for contiguous non-overlapping dataset slicing;
@@ -73,7 +77,8 @@ def evaluate_file_dataset(
             est_notes, err = transcribe_segments_array(
                 bundle, segments, start_times,
                 batch_size=batch_size, subtask=subtask,
-                beam_size=beam_size, repetition_guard=repetition_guard)
+                beam_size=beam_size, repetition_guard=repetition_guard,
+                repair_beam=repair_beam)
         total_err += err.total()
         ref = bundle.task_manager.remap_notes(ref_notes)
         from .metrics import offset_error_stats
@@ -90,12 +95,22 @@ def evaluate_file_dataset(
     per_class = metrics.compute_per_class()
     if per_class:
         out["per_class"] = per_class  # per-instrument-class onset P/R/F1
-    n_pairs = sum(o.get("n_pairs", 0.0) for o in offset_errs)
-    if n_pairs:
-        agg = {"n_pairs": n_pairs}
-        for k in ("mean_signed_s", "median_signed_s", "std_s",
-                  "p_early", "p_late", "p_within_tol"):
-            agg[k] = sum(o.get(k, 0.0) * o.get("n_pairs", 0.0)
-                         for o in offset_errs) / n_pairs
-        out["offset_diagnostic"] = agg  # systematic-bias probe (metrics.py)
+    # Pool the RAW signed errors across tracks before computing the
+    # aggregate median/std: an n_pairs-weighted mean of per-track medians
+    # is not the pooled median and can mislead the bias-vs-noise read this
+    # diagnostic exists for (ADVICE r4).
+    import numpy as np
+    pooled = np.asarray([e for o in offset_errs
+                         for e in o.get("raw_errors_s", ())])
+    if pooled.size:
+        from .metrics import OFFSET_MIN_TOL as _tol
+        out["offset_diagnostic"] = {  # systematic-bias probe (metrics.py)
+            "n_pairs": float(pooled.size),
+            "mean_signed_s": float(pooled.mean()),
+            "median_signed_s": float(np.median(pooled)),
+            "std_s": float(pooled.std()),
+            "p_early": float((pooled < -_tol).mean()),
+            "p_late": float((pooled > _tol).mean()),
+            "p_within_tol": float((np.abs(pooled) <= _tol).mean()),
+        }
     return out

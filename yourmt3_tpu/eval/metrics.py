@@ -275,4 +275,8 @@ def offset_error_stats(ref_notes: Sequence[Note],
         "p_early": float((a < -tol).mean()),   # est offset too early
         "p_late": float((a > tol).mean()),     # est offset too late
         "p_within_tol": float((np.abs(a) <= tol).mean()),
+        # raw signed errors: callers that aggregate across tracks must pool
+        # these (a mean of per-track medians/stds is NOT the pooled
+        # median/std — ADVICE r4); stripped before any JSON dump.
+        "raw_errors_s": [float(x) for x in errors],
     }

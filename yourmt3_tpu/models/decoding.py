@@ -80,6 +80,11 @@ def greedy_decode(
     start = cfg.decoder_start_token_id
     assert max_length % unroll == 0, (max_length, unroll)
     assert max_length % phases == 0, (max_length, phases)
+    # guard=1 is degenerate: the run counter starts at 1 for ANY token, so
+    # rep >= 1 trips on the first post-prefix emission and every stream
+    # force-EOSes immediately (empty transcription). ADVICE r4.
+    assert repetition_guard == 0 or repetition_guard >= 2, (
+        f"repetition_guard must be 0 (off) or >= 2, got {repetition_guard}")
     # Each phase's while-loop must also step in whole unroll groups: if the
     # phase span is not a multiple of unroll, the unrolled body crosses the
     # phase boundary and runs steps against the PREVIOUS phase's stale

@@ -224,6 +224,42 @@ def merge_segment_token_ids_to_notes(
     return notes, state.errors
 
 
+def per_segment_error_counts(
+    channel_segment_ids: Sequence[Sequence[np.ndarray]],
+    start_times: Sequence[float],
+    codec: Optional[EventCodec] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Attribute merge-walk decode errors to (channel, segment).
+
+    Walks each channel's stream through the same persistent
+    ``NoteDecodingState`` the real merge uses (same segment order) and
+    snapshots ``errors.total()`` between segments. Returns two (C, S)
+    int arrays: NEW errors charged to each segment, and the
+    ``tie_without_active_note`` subset — a tie error at segment s usually
+    means segment s-1's decode LOST the onset (degenerate stream), so
+    repair passes should implicate both. Used by api.py's
+    validate-and-repair decode (selective beam re-decode of only the
+    segments the detokenizer flags)."""
+    codec = codec or EventCodec()
+    C, S = len(channel_segment_ids), len(start_times)
+    totals = np.zeros((C, S), np.int64)
+    ties = np.zeros((C, S), np.int64)
+    order = sorted(range(S), key=lambda s: start_times[s])
+    for c in range(C):
+        st = NoteDecodingState(codec)
+        prev_tot, prev_tie = 0, 0
+        for s in order:
+            st.process_segment(
+                ids_to_events(channel_segment_ids[c][s], codec),
+                start_times[s])
+            tot = st.errors.total()
+            tie = st.errors.tie_without_active_note
+            totals[c, s] = tot - prev_tot
+            ties[c, s] = tie - prev_tie
+            prev_tot, prev_tie = tot, tie
+    return totals, ties
+
+
 def merge_multi_channel_token_ids_to_notes(
     channel_segment_ids: Sequence[Sequence[np.ndarray]],
     start_times: Sequence[float],

@@ -90,6 +90,19 @@ def restore_bundle(path: str, model_preset: Optional[str] = None,
             kw["encoder_abs_pos"] = "none"
             print("note: pre-encoder_abs_pos checkpoint — restoring with "
                   "encoder_abs_pos='none' to match its training forward")
+        if (kw.get("encoder_type") == "conformer"
+                and kw.get("encoder_abs_pos") == "sinusoidal"):
+            # Conformer checkpoints written in the window between the
+            # per-block-injection commit and the config gate record
+            # 'sinusoidal' meta but were TRAINED with per-block injection;
+            # restoring input-only silently changes their forward (ADVICE
+            # r4). The meta alone cannot distinguish the two trainings, so
+            # warn instead of remapping.
+            print("warning: conformer checkpoint with "
+                  "encoder_abs_pos='sinusoidal' — if it was trained in the "
+                  "pre-gate window (per-block injection), restore with "
+                  "model_cfg.replace(encoder_abs_pos='sinusoidal_per_block')"
+                  " to match its training forward")
         model_cfg = ModelConfig(**kw)
     bundle = init_model(preset, task, audio_cfg, model_cfg=model_cfg,
                         **cfg_overrides)
