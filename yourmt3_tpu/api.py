@@ -263,7 +263,8 @@ def _repair_error_segments(
     S, C = seg_ids.shape[0], seg_ids.shape[1]
     chan_ids = [[seg_ids[s, c] for s in range(S)] for c in range(C)]
     totals, ties = per_segment_error_counts(
-        chan_ids, start_times, bundle.task_manager.codec)
+        chan_ids, start_times, bundle.task_manager.codec,
+        default_programs=bundle.task_manager.channel_default_programs)
     suspects = set(np.nonzero(totals.sum(axis=0))[0].tolist())
     order = sorted(range(S), key=lambda s: start_times[s])
     pos_in_order = {s: i for i, s in enumerate(order)}

@@ -57,7 +57,8 @@ class NoteDecodingState:
     _STANDARD_TYPES = {"pad", "eos", "unk", "shift", "pitch", "velocity",
                        "tie", "program", "drum"}
 
-    def __init__(self, codec: Optional[EventCodec] = None):
+    def __init__(self, codec: Optional[EventCodec] = None,
+                 default_program: int = 0):
         self.codec = codec or EventCodec()
         # task-conditioning tokens are prefix no-ops during decoding
         self.task_types = set(self.codec.type_names) - self._STANDARD_TYPES
@@ -65,6 +66,15 @@ class NoteDecodingState:
         self.notes: List[Note] = []
         self.errors = DecodeErrors()
         self.last_time = 0.0
+        # Program state before the stream's first `program` token. Healthy
+        # streams always carry one before the first pitched event
+        # (note2event serializes from cur_program=None), so this only
+        # matters for DEGENERATE decodes that dropped it — and for a
+        # multi-channel task the channel's canonical program is strictly
+        # more correct than GM 0 (piano): defaulting to 0 silently spilled
+        # every program-less stream into the piano class (flagship piano
+        # precision 0.102, n_est 441 vs n_ref 92, VERDICT r4 weak-2).
+        self.default_program = default_program
 
     # ------------------------------------------------------------------
     def process_segment(self, events: Sequence[Event], start_time: float) -> None:
@@ -72,7 +82,7 @@ class NoteDecodingState:
         seg_len = self.codec.segment_seconds
         idx = 0
         declared: set = set()
-        cur_program = 0
+        cur_program = self.default_program
 
         # ---- tie section: [program?] pitch* ... 'tie' ----
         saw_tie = False
@@ -112,7 +122,7 @@ class NoteDecodingState:
                                                program=key[0], pitch=key[1])
 
         # ---- event stream ----
-        cur_program = 0
+        cur_program = self.default_program
         cur_velocity = self.codec.bin_to_velocity(1)
         cur_is_onset = True
         cur_time = start_time
@@ -209,6 +219,7 @@ def merge_segment_token_ids_to_notes(
     segment_ids: Sequence[np.ndarray],
     start_times: Sequence[float],
     codec: Optional[EventCodec] = None,
+    default_program: int = 0,
 ) -> Tuple[List[Note], DecodeErrors]:
     """Full-song decode: per-segment token ids (+ absolute start times) →
     merged note list with cross-segment tie continuation.
@@ -217,7 +228,7 @@ def merge_segment_token_ids_to_notes(
     is vectorized, only the stateful walk is Python.
     """
     codec = codec or EventCodec()
-    state = NoteDecodingState(codec)
+    state = NoteDecodingState(codec, default_program=default_program)
     for ids, t0 in sorted(zip(segment_ids, start_times), key=lambda x: x[1]):
         state.process_segment(ids_to_events(ids, codec), t0)
     notes = state.finish()
@@ -228,6 +239,7 @@ def per_segment_error_counts(
     channel_segment_ids: Sequence[Sequence[np.ndarray]],
     start_times: Sequence[float],
     codec: Optional[EventCodec] = None,
+    default_programs: Optional[Sequence[int]] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Attribute merge-walk decode errors to (channel, segment).
 
@@ -246,7 +258,9 @@ def per_segment_error_counts(
     ties = np.zeros((C, S), np.int64)
     order = sorted(range(S), key=lambda s: start_times[s])
     for c in range(C):
-        st = NoteDecodingState(codec)
+        st = NoteDecodingState(
+            codec, default_program=(default_programs[c]
+                                    if default_programs else 0))
         prev_tot, prev_tie = 0, 0
         for s in order:
             st.process_segment(
@@ -264,15 +278,23 @@ def merge_multi_channel_token_ids_to_notes(
     channel_segment_ids: Sequence[Sequence[np.ndarray]],
     start_times: Sequence[float],
     codec: Optional[EventCodec] = None,
+    default_programs: Optional[Sequence[int]] = None,
 ) -> Tuple[List[Note], DecodeErrors]:
     """Multi-channel decode: ``channel_segment_ids[c][s]`` = ids for channel
     c, segment s. Channels are independent streams (each owns an instrument
-    group) — decode each with its own state, then mix."""
+    group) — decode each with its own state, then mix.
+
+    ``default_programs[c]``: program state before channel c's first
+    `program` token — pass the channel's class-canonical program so a
+    degenerate stream that dropped its program token stays in its own
+    class instead of spilling into piano (GM 0)."""
     codec = codec or EventCodec()
     all_notes: List[Note] = []
     errors = DecodeErrors()
-    for per_seg in channel_segment_ids:
-        notes, err = merge_segment_token_ids_to_notes(per_seg, start_times, codec)
+    for c, per_seg in enumerate(channel_segment_ids):
+        notes, err = merge_segment_token_ids_to_notes(
+            per_seg, start_times, codec,
+            default_program=(default_programs[c] if default_programs else 0))
         all_notes.extend(notes)
         errors.add(err)
     all_notes.sort(key=lambda n: (n.onset, n.is_drum, n.program, n.pitch))

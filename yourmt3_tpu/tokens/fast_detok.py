@@ -33,9 +33,10 @@ from .event2note import DRUM_OFFSET_TIME, DecodeErrors
 
 
 def _forward_fill(is_set: jnp.ndarray, values: jnp.ndarray,
-                  init: int) -> jnp.ndarray:
+                  init) -> jnp.ndarray:
     """Per row: y[i] = values[j] for the last j ≤ i with is_set[j], else
-    init. Implemented as cumulative max over set-positions + gather."""
+    init (scalar, or (N, 1) array for per-row defaults). Implemented as
+    cumulative max over set-positions + gather."""
     L = is_set.shape[-1]
     pos = jnp.where(is_set, jnp.arange(L)[None, :], -1)
     last = jax.lax.cummax(pos, axis=pos.ndim - 1)
@@ -46,7 +47,8 @@ def _forward_fill(is_set: jnp.ndarray, values: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("type_ids",))
 def _extract(ids: jnp.ndarray, id_to_type: jnp.ndarray,
-             id_to_value: jnp.ndarray, type_ids: tuple) -> Dict[str, jnp.ndarray]:
+             id_to_value: jnp.ndarray, type_ids: tuple,
+             init_prog: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     (T_PAD, T_EOS, T_SHIFT, T_PITCH, T_VEL, T_TIE, T_PROG, T_DRUM) = type_ids
     V = id_to_type.shape[0]
     flat = ids.reshape(-1, ids.shape[-1])  # (N, L)
@@ -78,12 +80,14 @@ def _extract(ids: jnp.ndarray, id_to_type: jnp.ndarray,
         [jnp.full_like(tick[:, :1], -1), tick[:, :-1]], axis=-1)
     nonmono = is_shift & (v < prev_tick)
 
-    program = _forward_fill((t == T_PROG) & in_stream, v, 0)
+    # init_prog: (N, 1) per-row program default — a multi-channel task's
+    # channel-canonical program (see event2note.NoteDecodingState)
+    program = _forward_fill((t == T_PROG) & in_stream, v, init_prog)
     vel = _forward_fill((t == T_VEL) & in_stream, v, 1)
 
     is_pitch = (t == T_PITCH) & in_stream
     is_drum = (t == T_DRUM) & in_stream
-    tie_prog = _forward_fill((t == T_PROG) & in_tie, v, 0)
+    tie_prog = _forward_fill((t == T_PROG) & in_tie, v, init_prog)
     is_tie_pitch = (t == T_PITCH) & in_tie
 
     return {
@@ -107,7 +111,9 @@ class FastDetokenizer:
         self._type_ids = (ti["pad"], ti["eos"], ti["shift"], ti["pitch"],
                           ti["velocity"], ti["tie"], ti["program"], ti["drum"])
 
-    def extract(self, ids: np.ndarray) -> Dict[str, np.ndarray]:
+    def extract(self, ids: np.ndarray,
+                row_default_programs: Optional[np.ndarray] = None
+                ) -> Dict[str, np.ndarray]:
         # Rows (streams) are independent, so pad the flat row count up to a
         # power-of-two bucket: _extract's jit cache then hits across songs
         # of any segment count (compiles are log-bounded per L). Without
@@ -123,25 +129,37 @@ class FastDetokenizer:
         if padded != n:
             flat = np.concatenate(
                 [flat, np.zeros((padded - n, L), flat.dtype)])
+        if row_default_programs is None:
+            init = np.zeros((padded, 1), np.int32)
+        else:
+            init = np.zeros((padded,), np.int32)
+            init[:n] = np.asarray(row_default_programs, np.int32)
+            init = init[:, None]
         out = _extract(jnp.asarray(flat), self._id_to_type,
-                       self._id_to_value, self._type_ids)
+                       self._id_to_value, self._type_ids, jnp.asarray(init))
         return {k: np.asarray(v)[:n] for k, v in out.items()}
 
     # ------------------------------------------------------------------
     def detokenize_song(self, segment_ids: np.ndarray,
-                        start_times: Sequence[float]
+                        start_times: Sequence[float],
+                        default_programs: Optional[Sequence[int]] = None
                         ) -> Tuple[List[Note], DecodeErrors]:
         """(S, C, L) → notes; same semantics as TaskManager.detokenize_song.
 
         Channels are independent streams; each channel's segments merge
         through one NoteDecodingState fed with PRE-EXTRACTED arrays (no
-        per-token Python objects).
+        per-token Python objects). ``default_programs[c]`` seeds channel
+        c's program state (see event2note.NoteDecodingState).
         """
         segment_ids = np.asarray(segment_ids)
         if segment_ids.ndim == 2:
             segment_ids = segment_ids[:, None, :]
         S, C, L = segment_ids.shape
-        ex = self.extract(segment_ids)  # rows are (s*C + c)
+        row_defaults = None
+        if default_programs is not None:
+            row_defaults = np.tile(
+                np.asarray(default_programs, np.int32), S)  # rows = s*C + c
+        ex = self.extract(segment_ids, row_defaults)  # rows are (s*C + c)
         codec = self.codec
         sps = codec.steps_per_second
         all_notes: List[Note] = []

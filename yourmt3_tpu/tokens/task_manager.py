@@ -52,6 +52,26 @@ class TaskManager:
     def max_token_length(self) -> int:
         return self.task.effective_max_length
 
+    @property
+    def channel_default_programs(self) -> List[int]:
+        """Per-channel program state before the first `program` token.
+
+        Multi-channel tasks bind channel c to instrument class c, so a
+        degenerate stream that dropped its program token should default to
+        the CHANNEL's canonical program — defaulting to GM 0 spilled every
+        such stream into the piano class (flagship piano precision 0.102,
+        VERDICT r4). The drum channel (last, if present) keeps 0: pitched
+        events there are decode anomalies either way. Healthy streams are
+        unaffected (serialization always emits a program token before the
+        first pitched event — note2event.note_event2event)."""
+        C = self.num_decoding_channels
+        if C == 1:
+            return [0]
+        out = [cls.canonical_program for cls in self.task.program_vocab.classes]
+        while len(out) < C:
+            out.append(0)
+        return out[:C]
+
     def subtask_prefix_ids(self, subtask: Optional[str] = None) -> List[int]:
         name = subtask or self.task.default_subtask
         if name is None:
@@ -134,15 +154,18 @@ class TaskManager:
         segment_ids = np.asarray(segment_ids)
         if segment_ids.ndim == 2:
             segment_ids = segment_ids[:, None, :]
+        defaults = self.channel_default_programs
         if fast:
             if self._fast_detok is None:
                 from .fast_detok import FastDetokenizer
                 self._fast_detok = FastDetokenizer(self.codec)
-            return self._fast_detok.detokenize_song(segment_ids, start_times)
+            return self._fast_detok.detokenize_song(
+                segment_ids, start_times, default_programs=defaults)
         S, C, _ = segment_ids.shape
         if C == 1:
             return merge_segment_token_ids_to_notes(
-                [segment_ids[s, 0] for s in range(S)], list(start_times), self.codec)
+                [segment_ids[s, 0] for s in range(S)], list(start_times),
+                self.codec, default_program=defaults[0])
         return merge_multi_channel_token_ids_to_notes(
             [[segment_ids[s, c] for s in range(S)] for c in range(C)],
-            list(start_times), self.codec)
+            list(start_times), self.codec, default_programs=defaults)
