@@ -21,16 +21,21 @@ PROGRAMS = (0, 24, 32, 40, 56, 64)  # piano guitar bass strings brass reed
 
 n_train = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 root = sys.argv[2] if len(sys.argv) > 2 else "/root/ymt3_data"
+# v3 (round 5): new dataset name so the v2 corpus stays intact for
+# in-flight evals; per-track 2–4-program subsets + the synth.py renderer
+# upgrades (see config/data_presets.py synth_mc3 note)
+name = sys.argv[3] if len(sys.argv) > 3 else "synthmc3"
+subset = (2, 4)
 
 t0 = time.time()
 build_synth_dataset(root, n_tracks=n_train, duration=8.0,
-                    splits=("train",), programs=PROGRAMS, seed=30,
-                    dataset_name="synthmc")
+                    splits=("train",), programs=PROGRAMS, seed=40,
+                    dataset_name=name, track_subset=subset)
 print(f"train done {time.time()-t0:.0f}s", flush=True)
 build_synth_dataset(root, n_tracks=32, duration=8.0,
-                    splits=("validation",), programs=PROGRAMS, seed=31,
-                    dataset_name="synthmc")
+                    splits=("validation",), programs=PROGRAMS, seed=41,
+                    dataset_name=name, track_subset=subset)
 build_synth_dataset(root, n_tracks=32, duration=8.0,
-                    splits=("test",), programs=PROGRAMS, seed=32,
-                    dataset_name="synthmc")
+                    splits=("test",), programs=PROGRAMS, seed=42,
+                    dataset_name=name, track_subset=subset)
 print(f"all done {time.time()-t0:.0f}s", flush=True)

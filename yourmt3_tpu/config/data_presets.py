@@ -97,6 +97,14 @@ _reg(DataPreset("synth_big", (DatasetEntry("synthbig", 1.0),)))
 _reg(DataPreset("synth_mc", (
     DatasetEntry("synthmc", 1.0, eval_program_vocab="gm_instr_class_mc12"),),
     default_task="mc13_full_plus_256"))
+# v3 of the multi-instrument corpus (round 5): piano unison-detune beating
+# + register anchors, frequency-dependent damping, damper-noise releases,
+# per-class durations, hotter sustained classes, per-track 2–4-program
+# subsets — the offset-observability + piano/guitar-confusability levers
+# (VERDICT r4 items 4/5). Rendered by scripts/gen_synthmc.py v3.
+_reg(DataPreset("synth_mc3", (
+    DatasetEntry("synthmc3", 1.0, eval_program_vocab="gm_instr_class_mc12"),),
+    default_task="mc13_full_plus_256"))
 # drum-only synthetic corpus (full-kit groove+fill charts) — the ENST/e-GMD
 # shaped DTM quality loop (BASELINE config 4); ksh eval vocab like the
 # reference's enstdrums_dtp preset

@@ -27,20 +27,57 @@ from ..indexes import save_notes, write_file_list
 # Registers (pitch ranges) also differ per program — see PROGRAM_RANGES.
 PROGRAM_TIMBRES = {
     # program: (harmonic amps, attack_s, decay_per_s, vibrato)
-    0:  ((1.0, 0.6, 0.35, 0.2, 0.1), 0.005, 1.2, None),        # piano: rich, percussive decay
+    0:  ((1.0, 0.6, 0.35, 0.2, 0.1), 0.005, 0.9, None),        # piano: rich, percussive decay
     24: ((1.0, 0.45, 0.2, 0.08), 0.003, 2.5, None),            # guitar: pluck, fast decay
     32: ((1.0, 0.25, 0.06), 0.008, 0.9, None),                 # bass: fundamental-heavy
-    40: ((1.0, 0.7, 0.55, 0.4, 0.3, 0.2), 0.08, 0.1, (5.5, 0.25)),  # strings: slow bow, vibrato
-    56: ((0.7, 1.0, 0.9, 0.7, 0.5, 0.3), 0.04, 0.1, None),     # brass: mid-harmonic formant
-    64: ((1.0, 0.15, 0.6, 0.1, 0.4), 0.05, 0.15, (5.0, 0.12)), # reed: odd harmonics, vibrato
+    40: ((1.0, 0.7, 0.55, 0.4, 0.3, 0.2), 0.08, 0.06, (5.5, 0.25)),  # strings: slow bow, vibrato
+    56: ((0.7, 1.0, 0.9, 0.7, 0.5, 0.3), 0.04, 0.06, None),    # brass: mid-harmonic formant
+    64: ((1.0, 0.15, 0.6, 0.1, 0.4), 0.05, 0.08, (5.0, 0.12)), # reed: odd harmonics, vibrato
 }
 DEFAULT_TIMBRE = ((1.0, 0.5, 0.25), 0.005, 0.35, None)
 
 PROGRAM_RANGES = {  # MIDI pitch register per program
-    0: (40, 88), 24: (45, 78), 32: (28, 52), 40: (55, 93),
+    # piano reaches 30–95: the sub-guitar and super-guitar octaves give the
+    # model UNAMBIGUOUS piano anchors (round-4 piano/guitar confusion:
+    # piano test precision 0.102 — the two classes shared register AND
+    # decaying-harmonic structure, VERDICT r4 weak-2)
+    0: (30, 95), 24: (45, 78), 32: (28, 52), 40: (55, 93),
     56: (52, 80), 64: (49, 78),
 }
 DEFAULT_RANGE = (45, 84)
+
+# Per-class note-duration ranges (s). Sustained classes hold LONGER notes
+# than plucked/struck ones (real-corpus shaped); longer notes also make
+# offsets observable — mir_eval's offset tolerance is max(50 ms, 20% of
+# ref duration), so a corpus of uniformly short notes put most offsets
+# inside a 50 ms window the decoder's 10 ms grid + release masking could
+# not hit (flagship offset F1 stuck at 0.37–0.42, VERDICT r4 weak-3).
+PROGRAM_DURATIONS = {
+    0: (0.2, 2.0), 24: (0.15, 1.0), 32: (0.15, 1.2),
+    40: (0.4, 2.5), 56: (0.3, 2.0), 64: (0.3, 2.0),
+}
+DEFAULT_DURATION = (0.15, 1.2)
+
+# Unison-string detune (cents): pianos strike 2–3 detuned strings per key
+# — the resulting beat/chorus is the cheapest strong piano-vs-guitar
+# discriminator (a guitar pluck is one string). Applied as extra
+# per-partial copies at ±detune.
+PROGRAM_UNISON_DETUNE = {0: 1.4}
+# Frequency-dependent damping: string damping grows with harmonic number
+# (≈ f²); plucked strings lose brightness much faster than struck ones.
+# env_h = exp(-t · decay · (1 + hf · (h−1))).
+PROGRAM_HF_DAMPING = {24: 0.8, 0: 0.25, 32: 0.5}
+# Release: (ramp_s, damper_noise_gain). Piano/guitar offsets announce
+# themselves with a damper/mute noise (physically real); sustained
+# classes cue the offset by the sustain simply stopping.
+PROGRAM_RELEASES = {
+    0: (0.05, 0.12), 24: (0.04, 0.10), 32: (0.04, 0.05),
+    40: (0.06, 0.0), 56: (0.05, 0.0), 64: (0.05, 0.0),
+}
+DEFAULT_RELEASE = (0.03, 0.0)
+# Mix gain per program: sustained classes ride slightly hotter so their
+# release tails stay observable under percussive peers (VERDICT r4 item 4).
+PROGRAM_GAINS = {40: 1.3, 56: 1.25, 64: 1.25}
 
 # Onset-transient recipes. Round-3 per-class onset F1 read piano 0.35 /
 # guitar 0.37 (vs bass 0.73): the attack-alike classes carried the miss
@@ -146,10 +183,10 @@ def render_notes(notes: Sequence[Note], sr: int, duration: float,
             # (offset-F1 cliff: 0.109 vs onset 0.392 zero-shot, round 1);
             # now: attack ramp → per-program sustain decay → sharp 30 ms
             # release ending exactly at the offset.
-            env = np.minimum(1.0, seg_t / max(attack, 1e-4)) * np.exp(-seg_t * decay)
-            rel = min(int(0.03 * sr), i1 - i0)
-            if rel > 0:
-                env[-rel:] = env[-rel:] * np.linspace(1.0, 0.0, rel)
+            attack_env = np.minimum(1.0, seg_t / max(attack, 1e-4))
+            rel_s, damper_gain = PROGRAM_RELEASES.get(note.program,
+                                                      DEFAULT_RELEASE)
+            rel = min(int(rel_s * sr), i1 - i0)
             # deterministic per-note detune (±6 cents) — real instruments
             # are never exactly tempered; keeps the model off a pure-tone
             # frequency lookup
@@ -162,12 +199,34 @@ def render_notes(notes: Sequence[Note], sr: int, duration: float,
             # velocity-coupled brightness: soft notes have duller spectra
             bright = 0.55 + 0.45 * (note.velocity / 127.0)
             binh = PROGRAM_INHARMONICITY.get(note.program, 0.0)
-            wave = np.zeros_like(seg_t)
+            hf_damp = PROGRAM_HF_DAMPING.get(note.program, 0.0)
+            det_cents = PROGRAM_UNISON_DETUNE.get(note.program, 0.0)
+            # unison copies: 0 (single string) or ±detune around it
+            det_ratios = ((1.0,) if det_cents == 0.0 else
+                          (2 ** (-det_cents / 1200.0), 1.0,
+                           2 ** (det_cents / 1200.0)))
+            sig = np.zeros_like(seg_t)
             for h, amp in enumerate(harm, start=1):
                 fh = f0 * h * np.sqrt(1.0 + binh * h * h)
-                if fh < sr / 2:
-                    wave += amp * bright ** (h - 1) * np.sin(phase / f0 * fh)
-            sig = env * wave
+                if fh >= sr / 2:
+                    continue
+                # frequency-dependent damping: upper partials die faster
+                env_h = np.exp(-seg_t * decay * (1.0 + hf_damp * (h - 1)))
+                partial = np.zeros_like(seg_t)
+                for r in det_ratios:
+                    partial += np.sin(phase / f0 * (fh * r))
+                sig += (amp * bright ** (h - 1) / len(det_ratios)
+                        ) * env_h * partial
+            sig *= attack_env
+            if rel > 0:
+                ramp = np.linspace(1.0, 0.0, rel)
+                sig[-rel:] *= ramp
+                if damper_gain > 0.0:
+                    # damper/mute noise at the offset: the audible cue that
+                    # the note ENDED (offsets of struck/plucked notes are
+                    # otherwise just "decay continues to zero")
+                    sig[-rel:] += damper_gain * ramp * np.diff(
+                        rng.standard_normal(rel), prepend=0.0)
             trans = PROGRAM_TRANSIENTS.get(note.program)
             if trans is not None:
                 tlen_s, tgain, hp = trans
@@ -179,8 +238,10 @@ def render_notes(notes: Sequence[Note], sr: int, duration: float,
                     sig[:tn] += tgain * burst * np.linspace(1.0, 0.0, tn)
             if vib is not None and note.program == 40:
                 # strings: continuous low-level bow noise under the envelope
-                sig += 0.04 * rng.standard_normal(len(seg_t)) * env
-            out[i0:i1] += (note.velocity / 127.0) * 0.2 * sig
+                env0 = attack_env * np.exp(-seg_t * decay)
+                sig += 0.04 * rng.standard_normal(len(seg_t)) * env0
+            gain = PROGRAM_GAINS.get(note.program, 1.0)
+            out[i0:i1] += (note.velocity / 127.0) * 0.2 * gain * sig
     peak = np.abs(out).max()
     if peak > 1.0:
         out /= peak
@@ -190,8 +251,20 @@ def render_notes(notes: Sequence[Note], sr: int, duration: float,
 def random_chart(rng: np.random.Generator, duration: float,
                  programs: Sequence[int] = (0, 24, 32),
                  with_drums: bool = True, density: float = 3.0,
-                 drum_pitches: Sequence[int] = (36, 38, 42)) -> List[Note]:
+                 drum_pitches: Sequence[int] = (36, 38, 42),
+                 track_subset: Optional[Tuple[int, int]] = None) -> List[Note]:
+    """track_subset=(lo, hi): each TRACK uses a random subset of lo..hi of
+    the given programs instead of all of them — real mixtures don't play
+    every instrument at once, and a 6-program wall of sound masks release
+    tails (offset observability) and blurs class attribution. The subset
+    is drawn per chart; over thousands of tracks every program appears in
+    sparse AND dense company."""
     notes: List[Note] = []
+    if track_subset is not None and len(programs) > track_subset[0]:
+        lo, hi = track_subset
+        k = int(rng.integers(lo, min(hi, len(programs)) + 1))
+        programs = tuple(rng.choice(np.asarray(programs), size=k,
+                                    replace=False).tolist())
     n = max(2, int(duration * density))
     for _ in range(n):
         onset = float(rng.uniform(0.05, duration - 0.3))
@@ -201,8 +274,9 @@ def random_chart(rng: np.random.Generator, duration: float,
         else:
             prog = int(rng.choice(programs))
             lo, hi = PROGRAM_RANGES.get(prog, DEFAULT_RANGE)
+            dlo, dhi = PROGRAM_DURATIONS.get(prog, DEFAULT_DURATION)
             notes.append(Note(False, prog, onset,
-                              onset + float(rng.uniform(0.15, 1.2)),
+                              onset + float(rng.uniform(dlo, dhi)),
                               int(rng.integers(lo, hi)), int(rng.integers(60, 110))))
     from ...tokens.note2event import mix_notes
     return mix_notes([notes])
@@ -251,7 +325,7 @@ def build_synth_dataset(
     splits: Tuple[str, ...] = ("train", "validation", "test"),
     programs: Sequence[int] = (0, 24, 32), with_drums: bool = True,
     seed: int = 0, dataset_name: str = "synth", drums_only: bool = False,
-    density: float = 3.0,
+    density: float = 3.0, track_subset: Optional[Tuple[int, int]] = None,
 ) -> dict:
     """Render tracks + notes and write index files; → {split: index_path}."""
     rng = np.random.default_rng(seed)
@@ -264,7 +338,7 @@ def build_synth_dataset(
                 chart = drum_chart(rng, duration, density)
             else:
                 chart = random_chart(rng, duration, programs, with_drums,
-                                     density)
+                                     density, track_subset=track_subset)
             audio = render_notes(chart, sr, duration, seed=seed + i)
             adir = os.path.join(root, dataset_name, split)
             os.makedirs(adir, exist_ok=True)
