@@ -224,9 +224,90 @@ def bench_early_exit_regime(ckpt: str, batch_size: int = 16):
     return rows
 
 
+# (ckpt dir, data preset) pairs for --eval-suite; rows whose checkpoint
+# is missing on disk are skipped with a note (the suite is runnable on any
+# host that has some of the trained runs).
+EVAL_SUITE = (
+    ("runs/t5base_r4/last", "synth_big"),
+    ("runs/drums_r4/last", "synth_drum"),
+    ("runs/conformer_r4/last", "synth_big"),
+    ("runs/mc13_r6/last", "synth_mc"),
+    ("runs/mc13_mc3/last", "synth_mc3"),
+)
+
+
+def bench_eval_suite(max_tracks=None, batch_size=8, use_mesh=True):
+    """BASELINE config-5 analogue: the full synthetic eval suite (every
+    trained model family × its corpus) run data-parallel over the
+    available device mesh, emitting ONE F1+throughput table
+    (artifacts/eval_suite.json). On a v5e slice the mesh data axis spans
+    the slice (whole songs stream chunk-parallel); on the 1-chip/CPU host
+    it degrades to data=1/virtual-8 with identical metrics
+    (tests/test_chunk_parallel.py locks sharded ≡ single-device)."""
+    import os
+
+    import jax
+    from yourmt3_tpu.api import load_checkpoint
+    from yourmt3_tpu.config.data_presets import get_data_preset
+    from yourmt3_tpu.data.dataset_eval import AudioFileDataset
+    from yourmt3_tpu.eval.evaluator import evaluate_file_dataset
+    from yourmt3_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=len(jax.devices())) if use_mesh else None
+    rows = []
+    for ckpt, preset_name in EVAL_SUITE:
+        if not os.path.isdir(os.path.join(ckpt, "params")):
+            print(json.dumps({"config": ckpt, "skipped": "no checkpoint"}),
+                  file=sys.stderr)
+            continue
+        bundle = load_checkpoint(ckpt)
+        ov = decode_path_overrides(bundle.task_manager.num_decoding_channels,
+                                   bundle.task_manager.max_token_length)
+        bundle.with_decode_overrides(**ov)
+        preset = get_data_preset(preset_name)
+        for entry, idx in zip(preset.entries, preset.index_files("test")):
+            ds = AudioFileDataset(idx, bundle.audio_cfg,
+                                  max_tracks=max_tracks)
+            audio_s = sum(t.get("duration", 0.0) for t in ds.tracks) or None
+            t0 = time.perf_counter()
+            res = evaluate_file_dataset(
+                bundle, ds, eval_program_vocab=entry.eval_program_vocab,
+                eval_drum_vocab=entry.eval_drum_vocab,
+                batch_size=batch_size, verbose=False, mesh=mesh)
+            dt = time.perf_counter() - t0
+            row = {
+                "config": f"{bundle.cfg.name}/{entry.dataset}",
+                "ckpt": ckpt, "step": None,
+                "mesh_data": mesh.shape["data"] if mesh else 1,
+                "num_tracks": res.get("num_tracks"),
+                "onset_f1": res.get("onset_f1"),
+                "offset_f1": res.get("offset_f1"),
+                "multi_f1": res.get("multi_f1"),
+                "drum_f1": res.get("drum_f1"),
+                "decode_errors": res.get("decode_errors"),
+                "wall_s": round(dt, 1),
+                "audio_s_per_s": (round(audio_s / dt, 2) if audio_s else None),
+            }
+            rows.append(row)
+            print(json.dumps(row), file=sys.stderr)
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/eval_suite.json", "w") as f:
+        json.dump(rows, f, indent=1)
+    return rows
+
+
 def main():
     from yourmt3_tpu.utils.jax_setup import setup_jax
     setup_jax()
+
+    if "--eval-suite" in sys.argv:
+        max_tracks = None
+        for a in sys.argv[1:]:
+            if a.startswith("--max-tracks="):
+                max_tracks = int(a.split("=", 1)[1])
+        rows = bench_eval_suite(max_tracks=max_tracks)
+        print(json.dumps(rows))
+        return
 
     ckpt = None
     early_exit = False

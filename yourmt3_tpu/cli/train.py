@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt-every", type=int, default=1000)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--resume", default=None, help="checkpoint dir to resume")
+    p.add_argument("--init-from", default=None,
+                   help="checkpoint dir to WARM-START params from: fresh "
+                        "optimizer state, step 0, and lr schedule (unlike "
+                        "--resume, which restores all three) — corpus-"
+                        "transfer fine-tunes need a fresh peak lr")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-workers", type=int, default=None,
                    help="host batch-producer workers (default: auto from "
@@ -71,6 +76,8 @@ def main(argv=None) -> None:
         overrides["encoder_type"] = args.encoder
     if args.resume:
         bundle = load_checkpoint(args.resume)
+    elif args.init_from:
+        bundle = load_checkpoint(args.init_from)
     else:
         bundle = init_model(args.model, task, seed=args.seed, **overrides)
 
