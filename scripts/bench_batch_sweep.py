@@ -42,8 +42,12 @@ def main():
         for key in ("perceiver_tf_mc13/mc13_full_plus_256",
                     "perceiver_tf_mc13_moe/mc13_full_plus_256"):
             tune.setdefault(key, {})["batch"] = best["batch"]
-            tune[key]["batch_sweep_audio_s_per_s"] = \
+            # ONE number, from THIS sweep (VERDICT r4 item 6: no dual
+            # measured/batch_sweep keys shadowing each other)
+            tune[key]["measured_audio_s_per_s"] = \
                 best["audio_s_per_s_per_chip"]
+            tune[key].pop("batch_sweep_audio_s_per_s", None)
+            tune[key]["provenance"] = f"batch sweep {OUT}"
         with open(path, "w") as f:
             json.dump(tune, f, indent=1)
         print(f"PROMOTED batch={best['batch']} into {path}")

@@ -15,7 +15,18 @@ mark "r9 start: waiting for stage5 (carried-over r8 chain)"
 while ! grep -q "STAGE5 DONE" /tmp/r8_stage5.log 2>/dev/null; do
   sleep 60
 done
-mark "stage5 done; launching mc3 fine-tune (init-from 45k, 15k @ 8e-5)"
+mark "stage5 done; default-path repair2 eval on the 45k flagship first"
+# VERDICT item 2's DONE condition: onset >= 0.65 AND decode errors < 60 on
+# the DEFAULT public path. Plain greedy at 45k reads 0.7437 / 93 errors;
+# this banks the repair-pass (public transcribe default) numbers.
+mkdir -p artifacts/mc13_r7
+timeout 3600 python -u -m yourmt3_tpu.cli.test -ckpt runs/mc13_r6/last \
+  -d synth_mc --split test -b 8 --repair-beam 2 \
+  --output-json artifacts/mc13_r7/eval_test_repair2.json >> "$LOG" 2>&1 \
+  || mark "repair2 eval FAILED"
+mark "repair2 eval: $(python3 -c "import json;d=json.load(open('artifacts/mc13_r7/eval_test_repair2.json'))['synthmc'];print(round(d['onset_f1'],4), d['decode_errors'])" 2>/dev/null)"
+
+mark "launching mc3 fine-tune (init-from 45k, 15k @ 8e-5)"
 
 rm -f /tmp/stop_watchdog /tmp/train_mc3.log
 nohup bash scripts/train_watchdog.sh runs/mc13_mc3 /tmp/train_mc3.log \
