@@ -330,6 +330,9 @@ def main():
             extra["weight_quant"] = a.split("=", 1)[1]
         elif a.startswith("--kv-quant="):
             extra["kv_quant"] = a.split("=", 1)[1]
+        elif a.startswith("--kv-heads="):
+            # decoder GQA/MQA probe: shared K/V heads (config/model.py)
+            extra["decoder_kv_heads"] = int(a.split("=", 1)[1])
     if ckpt:
         if regime:
             rows = bench_early_exit_regime(ckpt, batch_size=tbatch)

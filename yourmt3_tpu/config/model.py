@@ -28,6 +28,13 @@ class ModelConfig:
     d_model: int = 512
     d_kv: int = 64
     num_heads: int = 6
+    # DECODER grouped-query attention: number of K/V heads shared by the
+    # num_heads query heads (None ⇒ num_heads, plain MHA). Single-token
+    # decode is HBM-bound on self-KV-cache reads (~95% of flagship step
+    # bytes at B=32 — EVIDENCE.md roofline), so kv_heads=1 (MQA) cuts the
+    # dominant traffic num_heads×. Decoder-only: the encoder runs full MHA
+    # (its attention is compute-bound and runs once per segment).
+    decoder_kv_heads: Optional[int] = None
     d_ff: int = 1024
     ff_act: str = "gated-gelu"  # "gated-gelu" | "relu" | "gated-silu" | "moe"
     dropout_rate: float = 0.05
@@ -114,6 +121,22 @@ class ModelConfig:
             raise ValueError(
                 f"weight_quant must be 'none'|'bf16'|'int8', "
                 f"got {self.weight_quant!r}")
+        if self.decoder_kv_heads is not None:
+            if (self.decoder_kv_heads < 1
+                    or self.num_heads % self.decoder_kv_heads):
+                raise ValueError(
+                    f"decoder_kv_heads={self.decoder_kv_heads} must divide "
+                    f"num_heads={self.num_heads}")
+            if (self.decoder_kv_heads != self.num_heads
+                    and (self.use_pallas_decode
+                         or self.kv_quant == "int8c4p")):
+                # the paged/int4-cross Pallas kernels index caches by query
+                # head; grouped-KV support is dense-path only (which is the
+                # measured-fastest path for multi-channel decodes anyway)
+                raise ValueError(
+                    "decoder_kv_heads (GQA/MQA) supports the dense decode "
+                    "paths only: use use_pallas_decode=False and kv_quant "
+                    "in ('none','int8','int8c4','int4')")
         if self.kv_quant == "int4" and self.use_pallas_decode:
             # the paged Pallas path has no int4 kernel: decode_step would
             # hand its ('table', rel_bias) marker to int4_decode_attention,
@@ -160,6 +183,18 @@ PERCEIVER_TF_MC13 = ModelConfig(
 PERCEIVER_TF_MC13_MOE = PERCEIVER_TF_MC13.replace(
     name="perceiver_tf_mc13_moe", ptf_num_moe_experts=8, ptf_moe_topk=2)
 
+# MQA flagship: 1 shared K/V head in the decoder. Single-token decode is
+# HBM-bound on self-cache reads (EVIDENCE.md: ~95% of step bytes at the
+# tuned batch); 6 query heads sharing one K/V head cuts that traffic 6×.
+# Decoder-only — encoder/cross quality anchors are unchanged; must be
+# validated by a trained-eval before replacing the MHA flagship.
+PERCEIVER_TF_MC13_MQA = PERCEIVER_TF_MC13.replace(
+    name="perceiver_tf_mc13_mqa", decoder_kv_heads=1)
+
+# GQA middle point: 2 K/V heads (3× self-read cut, closer-to-MHA quality)
+PERCEIVER_TF_MC13_GQA2 = PERCEIVER_TF_MC13.replace(
+    name="perceiver_tf_mc13_gqa2", decoder_kv_heads=2)
+
 CONFORMER_SMALL = ModelConfig(
     name="conformer_small", encoder_type="conformer",
     use_conv_pre_encoder=True,
@@ -169,7 +204,8 @@ CONFORMER_SMALL = ModelConfig(
 PRESETS = {
     m.name: m for m in (
         T5_TINY, T5_MINI, T5_SMALL, T5_BASE, PERCEIVER_TF_MC13,
-        PERCEIVER_TF_MC13_MOE, CONFORMER_SMALL,
+        PERCEIVER_TF_MC13_MOE, PERCEIVER_TF_MC13_MQA,
+        PERCEIVER_TF_MC13_GQA2, CONFORMER_SMALL,
     )
 }
 

@@ -140,16 +140,30 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 class MultiHeadAttention(nn.Module):
     """T5-style MHA. Projections are head-folded dense layers so the
     parameters are plain (d_model, H*dk) matrices — importer-friendly and
-    MXU-shaped."""
+    MXU-shaped.
+
+    num_kv_heads < num_heads ⇒ grouped-query attention (GQA; 1 = MQA):
+    K/V project to num_kv_heads heads and each is shared by
+    G = num_heads/num_kv_heads query heads (query head h attends KV head
+    h // G). Attention stays ONE dot_general pair by folding the group
+    axis into the query-time axis: q (B,H,T,dk) → (B,Hkv,G·T,dk) against
+    K/V (B,Hkv,Tk,dk) — no KV materialized broadcast, so the decode-time
+    cache reads (the HBM-bound term) really do shrink H/Hkv×."""
 
     num_heads: int
     d_kv: int
     d_model: int
     dtype: Dtype = jnp.bfloat16
     use_rope: bool = False  # rotary q/k over the sequence axis
+    num_kv_heads: Optional[int] = None  # None ⇒ num_heads (plain MHA)
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
 
     def setup(self):
         d_inner = self.num_heads * self.d_kv
+        d_kv_inner = self.kv_heads * self.d_kv
         kinit = nn.initializers.variance_scaling(1.0, "fan_in", "normal")
         # T5 omits the 1/sqrt(d_kv) attention scaling and folds it into the
         # QUERY init instead: q std = (d_model*d_kv)^-0.5, an extra d_kv^-0.5
@@ -163,9 +177,9 @@ class MultiHeadAttention(nn.Module):
                                                  "normal")
         self.q = QuantDense(d_inner, dtype=self.dtype,
                             kernel_init=qinit, name="q")
-        self.k = QuantDense(d_inner, dtype=self.dtype,
+        self.k = QuantDense(d_kv_inner, dtype=self.dtype,
                             kernel_init=kinit, name="k")
-        self.v = QuantDense(d_inner, dtype=self.dtype,
+        self.v = QuantDense(d_kv_inner, dtype=self.dtype,
                             kernel_init=kinit, name="v")
         self.o = QuantDense(self.d_model, dtype=self.dtype,
                             kernel_init=kinit, name="o")
@@ -174,29 +188,70 @@ class MultiHeadAttention(nn.Module):
         b, t, _ = x.shape
         return x.reshape(b, t, self.num_heads, self.d_kv).transpose(0, 2, 1, 3)
 
+    def _split_kv(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.kv_heads, self.d_kv).transpose(0, 2, 1, 3)
+
     def _merge(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, t, d = x.shape
         return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
 
+    def group_queries(self, q: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, T, dk) → (B, Hkv, G·T, dk): query head h = hkv·G + g maps
+        to row g·T+t of KV head hkv (plain reshape — (h,t) and (hkv,g,t)
+        share memory order)."""
+        b, h, t, d = q.shape
+        return q.reshape(b, self.kv_heads, (h // self.kv_heads) * t, d)
+
+    def ungroup_heads(self, x: jnp.ndarray, t: int) -> jnp.ndarray:
+        """(B, Hkv, G·T, dk) → (B, H, T, dk) (inverse of group_queries)."""
+        b = x.shape[0]
+        return x.reshape(b, self.num_heads, t, x.shape[-1])
+
+    def group_bias(self, bias: Optional[jnp.ndarray],
+                   t: int) -> Optional[jnp.ndarray]:
+        """(·, H or 1, T, Tk) → (·, Hkv, G·T, Tk) matching group_queries."""
+        if bias is None:
+            return None
+        if bias.shape[1] == 1:  # head-free mask: broadcast over heads first
+            bias = jnp.broadcast_to(
+                bias, bias.shape[:1] + (self.num_heads,) + bias.shape[2:])
+        g = self.num_heads // self.kv_heads
+        return bias.reshape(bias.shape[0], self.kv_heads, g * t,
+                            bias.shape[-1])
+
     def __call__(self, x_q: jnp.ndarray, x_kv: jnp.ndarray,
                  bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         q = self._split(self.q(x_q))
-        k = self._split(self.k(x_kv))
-        v = self._split(self.v(x_kv))
+        k = self._split_kv(self.k(x_kv))
+        v = self._split_kv(self.v(x_kv))
         if self.use_rope:
             q, k = rope_rotate(q), rope_rotate(k)
-        out = dot_product_attention(q, k, v, bias)
+        if self.kv_heads != self.num_heads:
+            t = q.shape[2]
+            out = dot_product_attention(self.group_queries(q), k, v,
+                                        self.group_bias(bias, t))
+            out = self.ungroup_heads(out, t)
+        else:
+            out = dot_product_attention(q, k, v, bias)
         return self.o(self._merge(out))
 
     # --- explicit-KV paths for autoregressive decoding -----------------
     def project_kv(self, x_kv: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        return self._split(self.k(x_kv)), self._split(self.v(x_kv))
+        return self._split_kv(self.k(x_kv)), self._split_kv(self.v(x_kv))
 
     def attend_step(self, x_q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        """x_q: (B, 1, d_model) against externally-managed K/V (B,H,L,dk)."""
+        """x_q: (B, 1, d_model) against externally-managed K/V
+        (B, Hkv, L, dk)."""
         q = self._split(self.q(x_q))
-        out = dot_product_attention(q, k, v, bias)
+        if self.kv_heads != self.num_heads:
+            t = q.shape[2]
+            out = dot_product_attention(self.group_queries(q), k, v,
+                                        self.group_bias(bias, t))
+            out = self.ungroup_heads(out, t)
+        else:
+            out = dot_product_attention(q, k, v, bias)
         return self.o(self._merge(out))
 
 

@@ -108,9 +108,11 @@ class T5DecoderLayer(nn.Module):
         c, dt = self.cfg, _dtype(self.cfg)
         self.norm_self = RMSNorm(dtype=dt, name="norm_self")
         self.self_attn = MultiHeadAttention(c.num_heads, c.d_kv, c.d_model, dt,
+                                            num_kv_heads=c.decoder_kv_heads,
                                             name="self_attn")
         self.norm_cross = RMSNorm(dtype=dt, name="norm_cross")
         self.cross_attn = MultiHeadAttention(c.num_heads, c.d_kv, c.d_model, dt,
+                                             num_kv_heads=c.decoder_kv_heads,
                                              name="cross_attn")
         self.norm_ff = RMSNorm(dtype=dt, name="norm_ff")
         self.ff = _make_ff(c, dt, "ff")
@@ -142,8 +144,17 @@ class T5DecoderLayer(nn.Module):
         bandwidth. Writes always land in the full-size cache."""
         h = self.norm_self(y)
         q = self.self_attn._split(self.self_attn.q(h))
-        k_step = self.self_attn._split(self.self_attn.k(h))
-        v_step = self.self_attn._split(self.self_attn.v(h))
+        k_step = self.self_attn._split_kv(self.self_attn.k(h))
+        v_step = self.self_attn._split_kv(self.self_attn.v(h))
+        G = self.self_attn.num_heads // self.self_attn.kv_heads
+        if G > 1:
+            # GQA/MQA: fold the query-head group axis into the (length-1)
+            # query-time axis — the dense attention paths below see
+            # (S, Hkv, G, dk) queries against (S, Hkv, L, dk) caches and
+            # are generic in that axis (config forbids the Pallas paths).
+            q = self.self_attn.group_queries(q)
+            if not isinstance(step_bias, tuple):
+                step_bias = self.self_attn.group_bias(step_bias, 1)
         ck, cv = self_kv
         if (self.cfg.kv_quant in ("int8", "int8c4", "int8c4p")
                 and self.cfg.use_pallas_decode):
@@ -230,10 +241,14 @@ class T5DecoderLayer(nn.Module):
                                             cv[:, :, :kv_len], step_bias)
             else:
                 att = dot_product_attention(q, ck, cv, step_bias)
+        if G > 1:
+            att = self.self_attn.ungroup_heads(att, 1)
         y = y + self.self_attn.o(self.self_attn._merge(att))
 
         h = self.norm_cross(y)
         qc = self.cross_attn._split(self.cross_attn.q(h))
+        if G > 1:
+            qc = self.cross_attn.group_queries(qc)
         if isinstance(cross_kv[0], tuple):
             # quantized static cross KV (quantized once at init); uint8
             # values ⇒ nibble-packed int4, int8 otherwise. Cross reads are
@@ -265,6 +280,8 @@ class T5DecoderLayer(nn.Module):
                                          cross_kv[1], T)[:, :, None, :]
         else:
             attc = dot_product_attention(qc, cross_kv[0], cross_kv[1], None)
+        if G > 1:
+            attc = self.cross_attn.ungroup_heads(attc, 1)
         y = y + self.cross_attn.o(self.cross_attn._merge(attc))
 
         h = self.norm_ff(y)

@@ -78,13 +78,15 @@ class YMT3(nn.Module):
     # ---- cache scaffolding ---------------------------------------------
     def empty_self_kvs(self, batch_streams: int, max_len: int) -> List[KV]:
         c = self.cfg
+        # GQA/MQA decoders cache only the shared K/V heads
+        kvh = c.decoder_kv_heads or c.num_heads
         dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
         if c.kv_quant == "int4":
             # nibble-packed int4 self cache: (values uint8 (S,H,L,dk//2),
             # per-position fp32 scales); zero scales zero out unwritten
             # positions exactly as in the int8 cache
-            vals = (batch_streams, c.num_heads, max_len, c.d_kv // 2)
-            scls = (batch_streams, c.num_heads, max_len)
+            vals = (batch_streams, kvh, max_len, c.d_kv // 2)
+            scls = (batch_streams, kvh, max_len)
             return [((jnp.zeros(vals, jnp.uint8), jnp.zeros(scls, jnp.float32)),
                      (jnp.zeros(vals, jnp.uint8), jnp.zeros(scls, jnp.float32)))
                     for _ in range(c.num_decoder_layers)]
@@ -96,16 +98,16 @@ class YMT3(nn.Module):
             block = 64 if max_len <= 256 else 128
             padded = -(-max_len // block) * block
             def pair():
-                return (empty_paged_cache(batch_streams, c.num_heads, c.d_kv,
+                return (empty_paged_cache(batch_streams, kvh, c.d_kv,
                                           padded, block, jnp.int8),
-                        empty_paged_scales(batch_streams, c.num_heads,
+                        empty_paged_scales(batch_streams, kvh,
                                            padded, block))
             return [(pair(), pair()) for _ in range(c.num_decoder_layers)]
         if c.kv_quant in ("int8", "int8c4", "int8c4p"):
             # (values int8, per-position fp32 scales); zero scales make
             # unwritten positions contribute 0 logits (masked anyway)
-            vals = (batch_streams, c.num_heads, max_len, c.d_kv)
-            scls = (batch_streams, c.num_heads, max_len)
+            vals = (batch_streams, kvh, max_len, c.d_kv)
+            scls = (batch_streams, kvh, max_len)
             return [((jnp.zeros(vals, jnp.int8), jnp.zeros(scls, jnp.float32)),
                      (jnp.zeros(vals, jnp.int8), jnp.zeros(scls, jnp.float32)))
                     for _ in range(c.num_decoder_layers)]
@@ -119,12 +121,12 @@ class YMT3(nn.Module):
             # skip: avg live fraction 0.625 at L=256), 128 for long decodes
             block = 64 if max_len <= 256 else 128
             padded = -(-max_len // block) * block
-            return [(empty_paged_cache(batch_streams, c.num_heads, c.d_kv,
+            return [(empty_paged_cache(batch_streams, kvh, c.d_kv,
                                        padded, block, dt),
-                     empty_paged_cache(batch_streams, c.num_heads, c.d_kv,
+                     empty_paged_cache(batch_streams, kvh, c.d_kv,
                                        padded, block, dt))
                     for _ in range(c.num_decoder_layers)]
-        shape = (batch_streams, c.num_heads, max_len, c.d_kv)
+        shape = (batch_streams, kvh, max_len, c.d_kv)
         return [(jnp.zeros(shape, dt), jnp.zeros(shape, dt))
                 for _ in range(c.num_decoder_layers)]
 
