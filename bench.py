@@ -105,6 +105,10 @@ def bench_config(model_preset, task, batch, max_length=None, n_iters=3,
     tune = load_decode_tuning().get(f"{model_preset}/{task}", {})
     if "weight_quant" in tune and "weight_quant" not in ov:
         ov["weight_quant"] = tune["weight_quant"]
+    # GQA/MQA: promoted into the tuning file only once a trained eval
+    # validates quality at the reduced K/V head count (config/model.py).
+    if "decoder_kv_heads" in tune and "decoder_kv_heads" not in ov:
+        ov["decoder_kv_heads"] = tune["decoder_kv_heads"]
     bundle = build(model_preset, task, ov)
     phases, unroll = tune.get("phases", 1), tune.get("unroll", 1)
     if loop_overrides:
