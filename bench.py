@@ -234,6 +234,7 @@ def bench_early_exit_regime(ckpt: str, batch_size: int = 16):
 EVAL_SUITE = (
     ("runs/t5base_r4/last", "synth_big"),
     ("runs/drums_r4/last", "synth_drum"),
+    ("runs/drums_r5/last", "synth_drum"),
     ("runs/conformer_r4/last", "synth_big"),
     ("runs/mc13_r6/last", "synth_mc"),
     ("runs/mc13_mc3/last", "synth_mc3"),
