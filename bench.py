@@ -109,6 +109,10 @@ def bench_config(model_preset, task, batch, max_length=None, n_iters=3,
     # validates quality at the reduced K/V head count (config/model.py).
     if "decoder_kv_heads" in tune and "decoder_kv_heads" not in ov:
         ov["decoder_kv_heads"] = tune["decoder_kv_heads"]
+    # kv_quant (e.g. int8c4p = int8 self / Pallas int4 cross): promoted
+    # only with a trained-eval quality gate (scripts/r11_mqa_promote.sh).
+    if "kv_quant" in tune and "kv_quant" not in ov:
+        ov["kv_quant"] = tune["kv_quant"]
     bundle = build(model_preset, task, ov)
     phases, unroll = tune.get("phases", 1), tune.get("unroll", 1)
     if loop_overrides:

@@ -89,6 +89,10 @@ def main():
             ca = cost[0] if isinstance(cost, (list, tuple)) else cost
             flops = float(ca.get("flops", 0.0)) or None
     except Exception as e:  # backend may not report cost analysis
+        # axon reports none: re-run this script under JAX_PLATFORMS=cpu to
+        # lower the identical step on CPU (HLO FLOP count is backend-
+        # independent) and merge flops into the TPU-measured artifact —
+        # that is how artifacts/train_mfu_r5.json got its MFU number.
         print(f"cost_analysis unavailable: {e}", file=sys.stderr)
 
     # warm/compile
