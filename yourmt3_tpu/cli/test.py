@@ -23,7 +23,7 @@ def main(argv=None) -> None:
     p.add_argument("--subtask", default=None)
     p.add_argument("--output-json", default=None)
     p.add_argument("--kv-quant", default=None,
-                   choices=("none", "int8", "int8c4", "int4"),
+                   choices=("none", "int8", "int8c4", "int8c4p", "int4"),
                    help="override the decode KV-cache format (quality/"
                         "throughput trade; params are unchanged, only the "
                         "model object is rebuilt)")
