@@ -31,10 +31,15 @@ ALLOW = set(a for a in sys.argv[2:]) or {"mqa"}
 KEYS = ("perceiver_tf_mc13/mc13_full_plus_256",
         "perceiver_tf_mc13_moe/mc13_full_plus_256")
 
+# NOTE: no "mqa+c4p" composition arm — config/model.py:136 rejects
+# decoder_kv_heads != num_heads with the Pallas int4-cross kernel (the
+# kernel indexes per-KV-head blocks; shared-head broadcast is future
+# kernel work). MQA composes with the DENSE int8c4 path, but dense int4
+# formats measured slower than int8 at this shape (r3 ablation), so the
+# meaningful arms are the two single levers.
 ARMS = {
     "mqa": {"decoder_kv_heads": 1},
     "c4p": {"kv_quant": "int8c4p"},
-    "mqa+c4p": {"decoder_kv_heads": 1, "kv_quant": "int8c4p"},
 }
 
 

@@ -4,9 +4,12 @@
 # tuning, each lever gated on trained-checkpoint eval quality:
 #   gate A (mqa): plain-greedy onset F1 >= 0.55 on the unseen test split
 #     (the greedy eval IS the MQA model — the checkpoint is MQA-trained).
-#   gate B (c4p): eval with --kv-quant int8c4p reads onset within 0.02 of
-#     plain greedy and decode errors < 150 (composition gate: runs on the
-#     MQA checkpoint, so it validates MQA x int8c4p directly).
+#   gate B (c4p): eval with --kv-quant int8c4 (the DENSE int4-cross path —
+#     the only one the MQA checkpoint can run; config/model.py:136 rejects
+#     GQA x int8c4p) reads onset within 0.02 of plain greedy and decode
+#     errors < 150. tests/test_int4_cross_kernel.py asserts int8c4p greedy
+#     decode is token-identical to int8c4, so this gate covers the Pallas
+#     kernel's quantization quality too.
 # Then scripts/bench_mqa_sweep.py sweeps the allowed arms on the idle chip
 # and promotes the winner; one final `python bench.py` confirms the
 # headline the driver will record.
@@ -35,14 +38,14 @@ esac
 
 mark "gate B: int8c4p quality eval on the trained MQA checkpoint"
 timeout 2400 python -u -m yourmt3_tpu.cli.test -ckpt runs/mc13_mc3/last \
-  -d synth_mc3 --split test -b 8 --kv-quant int8c4p \
-  --output-json artifacts/mc13_mc3/eval_test_int8c4p.json >> "$LOG" 2>&1 \
+  -d synth_mc3 --split test -b 8 --kv-quant int8c4 \
+  --output-json artifacts/mc13_mc3/eval_test_int8c4.json >> "$LOG" 2>&1 \
   || mark "int8c4p eval FAILED"
 GATEB=$(python3 -c "
 import json
 try:
     plain = json.load(open('artifacts/mc13_mc3/eval_test.json'))['synthmc3']
-    c4p = json.load(open('artifacts/mc13_mc3/eval_test_int8c4p.json'))['synthmc3']
+    c4p = json.load(open('artifacts/mc13_mc3/eval_test_int8c4.json'))['synthmc3']
     ok = (c4p['onset_f1'] >= plain['onset_f1'] - 0.02
           and c4p['decode_errors'] < 150)
     print('PASS' if ok else 'FAIL',
