@@ -101,18 +101,17 @@ def bench_config(model_preset, task, batch, max_length=None, n_iters=3,
     L = tm.max_token_length if max_length is None else min(
         max_length, tm.max_token_length)
     ov = decode_path_overrides(tm.num_decoding_channels, L)
-    ov.update(extra_overrides or {})
+    extra = dict(extra_overrides or {})
     tune = load_decode_tuning().get(f"{model_preset}/{task}", {})
-    if "weight_quant" in tune and "weight_quant" not in ov:
-        ov["weight_quant"] = tune["weight_quant"]
-    # GQA/MQA: promoted into the tuning file only once a trained eval
-    # validates quality at the reduced K/V head count (config/model.py).
-    if "decoder_kv_heads" in tune and "decoder_kv_heads" not in ov:
-        ov["decoder_kv_heads"] = tune["decoder_kv_heads"]
-    # kv_quant (e.g. int8c4p = int8 self / Pallas int4 cross): promoted
-    # only with a trained-eval quality gate (scripts/r11_mqa_promote.sh).
-    if "kv_quant" in tune and "kv_quant" not in ov:
-        ov["kv_quant"] = tune["kv_quant"]
+    # Promoted tuning outranks the generic fast-path defaults (which
+    # pre-set kv_quant, so a membership test against ov would silently
+    # drop the promotion); explicit extra_overrides outrank both.
+    # weight_quant/kv_quant/decoder_kv_heads enter the tuning file only
+    # via quality-gated promotion (scripts/r11_mqa_promote.sh).
+    for k in ("weight_quant", "decoder_kv_heads", "kv_quant"):
+        if k in tune and k not in extra:
+            ov[k] = tune[k]
+    ov.update(extra)
     bundle = build(model_preset, task, ov)
     phases, unroll = tune.get("phases", 1), tune.get("unroll", 1)
     if loop_overrides:
